@@ -1,0 +1,53 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every conf
+here is one that also holds at cluster scale (AQE, Arrow, UTC, shuffle
+partitions sized to parallelism rather than the 200 default).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "fluvio_jolt_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; cluster masters keep a healthy multiple of cores.
+        shuffle_partitions = (
+            int(master[len("local["):-1]) if master.startswith("local[") and master[6:-1].isdigit()
+            else cpus
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet naive timestamps as TIMESTAMP_LTZ (UTC session ⇒
+        # values identical to the stored naive micros); NTZ blocks
+        # numeric casts and diverges from the DuckDB oracle.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches feed the vectorized jolt stage; bigger batches
+        # amortize the JVM<->Python hop without blowing worker memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

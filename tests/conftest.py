@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from fluvio_jolt_spark.plans.session import build_session
+
+    spark = build_session(app_name="fjs-tests", master="local[4]", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def transcripts_small(spark):
+    """Small deterministic transcript table (+snapshots) for tests."""
+    from fluvio_jolt_spark.sources.transcripts import read_transcripts
+
+    return read_transcripts(spark, n_turns=3000)

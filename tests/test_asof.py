@@ -1,0 +1,118 @@
+"""As-of join: window-variant vs merge_asof cross-check, tie semantics,
+zero-leakage, and plan shape (no join node, one shuffle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fluvio_jolt_spark.operators.asof import asof_join, asof_join_pandas
+
+
+@pytest.fixture(scope="module")
+def joined(spark, transcripts_small):
+    left, right = transcripts_small
+    out = asof_join(left, right, on="ts", right_on="snap_ts", by="conv_id")
+    return left, right, out.toPandas()
+
+
+def _oracle_merge_asof(lpdf, rpdf, allow_exact=True):
+    lpdf = lpdf.sort_values("ts", kind="mergesort")
+    frames = []
+    for conv, lg in lpdf.groupby("conv_id", sort=False):
+        rg = rpdf[rpdf.conv_id == conv].sort_values("snap_ts", kind="mergesort")
+        if rg.empty:
+            lg = lg.copy()
+            lg["attr_value"] = None
+            frames.append(lg)
+            continue
+        merged = pd.merge_asof(
+            lg.sort_values("ts"),
+            rg[["snap_ts", "attr_value"]],
+            left_on="ts",
+            right_on="snap_ts",
+            direction="backward",
+            allow_exact_matches=allow_exact,
+        ).drop(columns=["snap_ts"])
+        frames.append(merged)
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_asof_matches_pandas_oracle(joined):
+    left, right, got = joined
+    want = _oracle_merge_asof(left.toPandas(), right.toPandas())
+    key = ["conv_id", "turn_idx"]
+    got_s = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    want_s = want.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(got_s) == len(want_s) == left.count()
+    ga = got_s["attr_value"].astype(float)
+    wa = want_s["attr_value"].astype(float)
+    assert ((ga.isna() & wa.isna()) | (abs(ga - wa) < 1e-9)).all()
+
+
+def test_asof_zero_leakage(joined, spark):
+    """No joined attr_value may come from a snapshot later than the turn."""
+    left, right, got = joined
+    rpdf = right.toPandas()
+    lookup = {}
+    for conv, g in rpdf.groupby("conv_id"):
+        lookup[conv] = g.sort_values("snap_ts")
+    for _, row in got[got.attr_value.notna()].iterrows():
+        g = lookup[row.conv_id]
+        legal = g[g.snap_ts <= row.ts]["attr_value"].tolist()
+        assert row.attr_value in legal, f"leaked value at {row.conv_id}/{row.turn_idx}"
+
+
+def test_asof_exact_tie_joins(spark):
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20"]),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "snap_ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:30"]),
+            "attr_value": [1.5, 9.9],
+        }
+    )
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    got = (
+        asof_join(left, right)
+        .orderBy("turn_idx")
+        .toPandas()["attr_value"]
+        .tolist()
+    )
+    # <= semantics: the 00:10 turn sees the 00:10 snapshot; 00:30 never joins
+    assert pd.isna(got[0]) and got[1] == 1.5 and got[2] == 1.5
+
+    strict = (
+        asof_join(left, right, strict=True)
+        .orderBy("turn_idx")
+        .toPandas()["attr_value"]
+        .tolist()
+    )
+    assert pd.isna(strict[0]) and pd.isna(strict[1]) and strict[2] == 1.5
+
+
+def test_asof_pandas_variant_agrees(spark, transcripts_small):
+    left, right = transcripts_small
+    lsub = left.filter("conv_id < 'conv_00000040'")
+    a = asof_join(lsub, right).toPandas()
+    b = asof_join_pandas(lsub, right).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    aa, bb = a["attr_value"].astype(float), b["attr_value"].astype(float)
+    assert ((aa.isna() & bb.isna()) | (abs(aa - bb) < 1e-9)).all()
+
+
+def test_asof_plan_no_join_single_shuffle(spark, transcripts_small):
+    left, right = transcripts_small
+    out = asof_join(left, right)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

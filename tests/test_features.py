@@ -1,0 +1,152 @@
+"""Window feature parity vs a pandas oracle + the zero-leakage gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fluvio_jolt_spark.operators.window_features import (
+    SESSION_GAP_S,
+    backfill,
+    with_turn_features,
+)
+
+
+@pytest.fixture(scope="module")
+def features_pdf(spark, transcripts_small):
+    df, _ = transcripts_small
+    out = with_turn_features(df, rolling_k=5)
+    return out.toPandas(), df.toPandas()
+
+
+def _oracle(tdf: pd.DataFrame, rolling_k: int = 5) -> pd.DataFrame:
+    tdf = tdf.sort_values(["conv_id", "turn_idx", "ts"], kind="mergesort").copy()
+    g = tdf.groupby("conv_id", sort=False)
+    tdf["prev_ts"] = g["ts"].shift(1)
+    tdf["inter_turn_s"] = (tdf["ts"] - tdf["prev_ts"]).dt.total_seconds()
+    tdf["prev_role"] = g["role"].shift(1)
+    tdf["role_alternated"] = np.where(
+        tdf["prev_role"].isna(), None, tdf["role"] != tdf["prev_role"]
+    )
+    tdf["is_tool_call"] = ((tdf["tool"].notna()) & (tdf["tool"] != "")).astype(int)
+    tdf["tool_calls_last_k"] = (
+        tdf.groupby("conv_id", sort=False)["is_tool_call"]
+        .rolling(rolling_k, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+    )
+    tdf["tool_calls_cum"] = g["is_tool_call"].cumsum()
+    tdf["session_break"] = (tdf["inter_turn_s"] > SESSION_GAP_S).astype(int)
+    tdf["session_id"] = tdf.groupby("conv_id", sort=False)["session_break"].cumsum()
+    tdf["turn_in_session"] = tdf.groupby(["conv_id", "session_id"], sort=False).cumcount()
+    return tdf
+
+
+def test_feature_parity_with_pandas_oracle(features_pdf):
+    got, raw = features_pdf
+    want = _oracle(raw)
+    got = got.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    want = want.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["inter_turn_s"], want["inter_turn_s"], check_names=False
+    )
+    assert (got["tool_calls_last_k"].to_numpy() == want["tool_calls_last_k"].to_numpy()).all()
+    assert (got["tool_calls_cum"].to_numpy() == want["tool_calls_cum"].to_numpy()).all()
+    assert (got["session_id"].to_numpy() == want["session_id"].to_numpy()).all()
+    assert (got["turn_in_session"].to_numpy() == want["turn_in_session"].to_numpy()).all()
+    # role_alternated: compare with None-tolerant equality
+    ga = got["role_alternated"].to_numpy(dtype=object)
+    wa = want["role_alternated"].to_numpy(dtype=object)
+    assert all((a is None and b is None) or bool(a) == bool(b) for a, b in zip(ga, wa))
+
+
+def test_sessionization_produces_multiple_sessions(features_pdf):
+    got, _ = features_pdf
+    assert got["session_id"].max() >= 1, "generator should produce multi-session conversations"
+
+
+def test_zero_leakage_backward_features(features_pdf):
+    """No backward feature may depend on rows with a later (turn_idx, ts).
+    Structural check: recompute on a truncated prefix of each conversation
+    and require identical values on the prefix."""
+    got, raw = features_pdf
+    conv = got["conv_id"].iloc[0]
+    full = got[got.conv_id == conv].sort_values("turn_idx")
+    if len(full) < 6:
+        pytest.skip("conversation too short")
+    cut = len(full) // 2
+    prefix_raw = raw[(raw.conv_id == conv) & (raw.turn_idx < full.turn_idx.iloc[cut])]
+    want = _oracle(prefix_raw.copy())
+    back_cols = [
+        "inter_turn_s",
+        "tool_calls_last_k",
+        "tool_calls_cum",
+        "session_id",
+        "turn_in_session",
+    ]
+    sub = full.iloc[:cut][back_cols].reset_index(drop=True)
+    ora = want.sort_values("turn_idx")[back_cols].reset_index(drop=True)
+    for c in back_cols:
+        a, b = sub[c].to_numpy(), ora[c].to_numpy()
+        mask = ~(pd.isna(a) & pd.isna(b))
+        assert (a[mask] == b[mask]).all(), f"leakage in {c}"
+
+
+def test_lead_features_are_explicit(features_pdf):
+    got, _ = features_pdf
+    lead_cols = [c for c in got.columns if c.startswith("lead_")]
+    assert set(lead_cols) == {"lead_ts", "lead_role"}
+
+
+def test_backfill_forward(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 5,
+            "turn_idx": range(5),
+            "ts": pd.date_range("2024-01-01", periods=5, freq="min"),
+            "v": [None, "a", None, None, "b"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        backfill(df, "v")
+        .orderBy("turn_idx")
+        .select("v_filled")
+        .toPandas()["v_filled"]
+        .tolist()
+    )
+    assert out == [None, "a", "a", "a", "b"]
+
+
+def test_backfill_backward(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": range(4),
+            "ts": pd.date_range("2024-01-01", periods=4, freq="min"),
+            "v": [None, "a", None, "b"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        backfill(df, "v", direction="backward")
+        .orderBy("turn_idx")
+        .select("v_filled")
+        .toPandas()["v_filled"]
+        .tolist()
+    )
+    assert out == ["a", "a", "b", "b"]
+
+
+def test_single_shuffle_for_feature_set(spark, transcripts_small):
+    """All backward windows share partitionBy(conv_id): the physical plan
+    must contain exactly ONE exchange for the conv_id windows plus one for
+    the (conv_id, session_id) row_number — no more."""
+    df, _ = transcripts_small
+    out = with_turn_features(df, include_leads=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"too many shuffles ({n_exchanges}):\n{plan}"

@@ -1,38 +1,512 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship transcript feature pipeline at
+sf0.001. ``queries()``/``oracle_sql()`` expose each implemented
+operator from SURVEY.md §2 over the driver's parquet tables, with
+DuckDB-checkable ANSI SQL oracles (same column names/aliases on both
+sides). Jolt queries run the real reshaping engine in Spark; their
+oracles reconstruct the expected canonical JSON by string algebra over
+the fixed-shape ``props`` payloads.
 """
 
 from __future__ import annotations
 
+import json
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+SESSION_GAP_S = 30 * 60
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic transcripts at sf0.001 density → Jolt reshape
+    of every turn payload → windowed turn features → point-in-time
+    as-of join of conversation attribute snapshots."""
+    from fluvio_jolt_spark.operators.asof import asof_join
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
+    from fluvio_jolt_spark.operators.window_features import with_turn_features
+    from fluvio_jolt_spark.sources.transcripts import read_transcripts, sf_to_n_turns
+
+    turns, snaps = read_transcripts(spark, n_turns=sf_to_n_turns(0.001))
+    reshaped = jolt_reshape(turns, reference_bench_spec(), columns="text")
+    feats = with_turn_features(reshaped)
+    return asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
+
+
+# ---------------------------------------------------------------- jolt queries
+
+
+def _q_jolt_shift_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape
+
+    spec = json.dumps([{"operation": "shift", "spec": {"k": "key_value"}}])
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = jolt_reshape(ev, spec, columns="props", suffix="_reshaped")
+    return out.select("event_id", F.col("props_reshaped").alias("reshaped"))
+
+
+def _q_jolt_wildcard_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape
+
+    spec = json.dumps([{"operation": "shift", "spec": {"*": "wrapped.&"}}])
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = jolt_reshape(ev, spec, columns="props", suffix="_reshaped")
+    return out.select("event_id", F.col("props_reshaped").alias("reshaped"))
+
+
+def _q_jolt_default_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape
+
+    spec = json.dumps(
+        [
+            {"operation": "remove", "spec": {"k": ""}},
+            {"operation": "default", "spec": {"k": -1, "source": "evt"}},
+        ]
+    )
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = jolt_reshape(ev, spec, columns="props", suffix="_reshaped")
+    return out.select("event_id", F.col("props_reshaped").alias("reshaped"))
+
+
+# ---------------------------------------------------------------- window / temporal
+
+
+def _q_lag_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    brk = F.when(gap > SESSION_GAP_S * 1_000_000, 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(brk).over(wcum).alias("session_id"),
+    )
+
+
+def _q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    brk = F.when(gap > SESSION_GAP_S * 1_000_000, 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_id", F.sum(brk).over(wcum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _q_rolling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .alias("purchases_last5"),
+    )
+
+
+def _q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluvio_jolt_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("signup_value")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(left, signups, on="ts", right_on="snap_ts", by="user_id")
+    return out.select("event_id", "user_id", "signup_value")
+
+
+def _q_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("event_type").over(w).alias("lead_type"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("lead_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------- relational core
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("top_price"))
+    )
+
+
+def _q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+
+
+# ---------------------------------------------------------------- dedup / text / similarity
+
+
+def _q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    ).select("canonical_id", "n_copies")
+
+
+def _q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    a = docs.alias("a")
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("words").alias("words_b")).alias("b")
+    joined = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect("words", "words_b"))
+    union = F.size(F.array_union("words", "words_b"))
+    return joined.select(
+        "doc_id",
+        (inter.cast("double") / union.cast("double")).alias("jaccard_next"),
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double") / n
+    return docs.select(
+        "doc_id",
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double") / F.size(
+        toks
+    ).cast("double")
+    pred = F.when(stop > 0.01, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id", pred.alias("pred_lang"), (pred == F.col("lang")).alias("lang_match")
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = [float(x) for x in qrow]
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_v = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    qnorm = sum(x * x for x in q) ** 0.5
+    sim = dot / (norm_v * F.lit(qnorm))
+    ranked = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.round(sim, 6).alias("cos_sim")
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).drop("rn")
+    )
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "jolt_shift_props": _q_jolt_shift_props,
+    "jolt_wildcard_props": _q_jolt_wildcard_props,
+    "jolt_default_remove": _q_jolt_default_remove,
+    "lag_latency": _q_lag_latency,
+    "sessionize": _q_sessionize,
+    "session_agg": _q_session_agg,
+    "rolling_counts": _q_rolling_counts,
+    "backfill_last_value": _q_backfill,
+    "asof_join_signup": _q_asof_join,
+    "lead_features": _q_lead_features,
+    "tpch_q1": _q_tpch_q1,
+    "topk_per_group": _q_topk_per_group,
+    "broadcast_join_agg": _q_broadcast_join_agg,
+    "pivot_event_counts": _q_pivot_event_counts,
+    "exact_dedup_docs": _q_exact_dedup_docs,
+    "jaccard_adjacent_docs": _q_jaccard_adjacent,
+    "token_stats": _q_token_stats,
+    "quality_score": _q_quality_score,
+    "lang_id": _q_lang_id,
+    "cosine_topk": _q_cosine_topk,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    gap_us = SESSION_GAP_S * 1_000_000
+    session_cte = f"""
+      WITH gaps AS (
+        SELECT event_id, user_id, ts, value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+      ), sess AS (
+        SELECT event_id, user_id, ts, value,
+               sum(CASE WHEN gap_us > {gap_us} THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+      )
     """
-    return {}
+    return {
+        "jolt_shift_props": """
+          SELECT event_id,
+                 '{"key_value":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || '}' AS reshaped
+          FROM events
+        """,
+        "jolt_wildcard_props": """
+          SELECT event_id,
+                 '{"wrapped":{"k":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || '}}' AS reshaped
+          FROM events
+        """,
+        "jolt_default_remove": """
+          SELECT event_id, '{"k":-1,"source":"evt"}' AS reshaped FROM events
+        """,
+        "lag_latency": """
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        """,
+        "sessionize": session_cte + "SELECT event_id, user_id, session_id FROM sess",
+        "session_agg": session_cte
+        + """
+          SELECT user_id, session_id, count(*) AS n_events,
+                 max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+                 round(sum(value), 4) AS sum_value
+          FROM sess GROUP BY user_id, session_id
+        """,
+        "rolling_counts": """
+          SELECT event_id, user_id,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS purchases_last5
+          FROM events
+        """,
+        "backfill_last_value": """
+          SELECT event_id, user_id,
+                 last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+          FROM events
+        """,
+        "asof_join_signup": """
+          SELECT e.event_id, e.user_id, s.signup_value
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "lead_features": """
+          SELECT event_id, user_id,
+                 lead(event_type) OVER w AS lead_type,
+                 lead(epoch_us(ts)) OVER w - epoch_us(ts) AS lead_gap_us
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "tpch_q1": """
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 4) AS sum_qty,
+                 round(sum(l_extendedprice), 4) AS sum_base_price,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_per_group": """
+          SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS top_price
+          FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+          ) WHERE rn = 1
+        """,
+        "broadcast_join_agg": """
+          SELECT n_name, count(*) AS n_orders,
+                 round(sum(o_totalprice), 4) AS total_price
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        """,
+        "pivot_event_counts": """
+          SELECT user_id,
+                 count(*) FILTER (event_type = 'click') AS n_click,
+                 count(*) FILTER (event_type = 'error') AS n_error,
+                 count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                 count(*) FILTER (event_type = 'signup') AS n_signup,
+                 count(*) FILTER (event_type = 'view') AS n_view
+          FROM events GROUP BY user_id
+        """,
+        "exact_dedup_docs": """
+          SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+          FROM documents GROUP BY text
+        """,
+        "jaccard_adjacent_docs": """
+          WITH w AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+            FROM documents
+          )
+          SELECT a.doc_id,
+                 CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
+                   AS jaccard_next
+          FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        """,
+        "token_stats": """
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                 length(text) AS n_chars_actual
+          FROM documents
+        """,
+        "quality_score": """
+          SELECT doc_id,
+                 round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS type_token_ratio,
+                 round(CAST(len(list_filter(string_split(text, ' '),
+                                            t -> t IN ('the', 'a'))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS stopword_ratio
+          FROM documents
+        """,
+        "lang_id": """
+          SELECT doc_id,
+                 CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                                t -> t IN ('the', 'a'))) AS DOUBLE)
+                           / len(string_split(text, ' ')) > 0.01
+                      THEN 'en' ELSE 'other' END AS pred_lang,
+                 (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                                 t -> t IN ('the', 'a'))) AS DOUBLE)
+                            / len(string_split(text, ' ')) > 0.01
+                       THEN 'en' ELSE 'other' END) = lang AS lang_match
+          FROM documents
+        """,
+        "cosine_topk": """
+          WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+          ), scored AS (
+            SELECT vec_id,
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS sim
+            FROM embeddings, q WHERE vec_id != 0
+          )
+          SELECT vec_id, round(sim, 6) AS cos_sim
+          FROM scored ORDER BY sim DESC, vec_id LIMIT 20
+        """,
+    }

@@ -1,0 +1,181 @@
+"""Explicit skew handling for mega-conversations (salted windows).
+
+Why this exists: AQE can split a skewed JOIN partition but can NEVER
+split a WINDOW partition — one 50M-turn conversation pins one task for
+the whole stage. The scalable plan bounds per-task work by chunking each
+conversation on ``turn_idx`` and computing features per
+``(conv_id, chunk)`` with exact cross-chunk reconciliation:
+
+* **Bounded-lookback features** (lag/lead, rolling-k): the last
+  ``overlap = max(k-1, 1)`` rows of chunk c are duplicated as carry-in
+  rows of chunk c+1 (and the first row carries back for lead_*). Carry
+  rows supply window context only and are dropped from the output.
+* **Cumulative features** (running counts, session ids) decompose as
+  ``within-chunk prefix + offset``, where offsets come from a second
+  window over the per-chunk summaries — a table with one row per
+  (conv_id, chunk), orders of magnitude smaller than the data (and its
+  own conv_id partitions are ~n_turns/chunk long, so the skew is gone).
+* **Forward-fill features** (last_tool_name): within-chunk fill,
+  coalesced with the running last value of preceding chunk summaries
+  (the classic distributed forward-fill).
+
+Output is bit-identical to ``with_turn_features`` (tested) while the
+largest window partition is ``chunk_rows + overlap`` regardless of
+conversation size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .window_features import SESSION_GAP_S
+
+_CARRY = "_carry"
+_CHUNK = "_chunk"
+
+
+def with_turn_features_salted(
+    df: DataFrame,
+    chunk_rows: int = 4096,
+    session_gap_s: int = SESSION_GAP_S,
+    rolling_k: int = 5,
+    include_leads: bool = True,
+) -> DataFrame:
+    overlap = max(rolling_k - 1, 1)
+
+    base = df.withColumn(_CHUNK, (F.col("turn_idx") / chunk_rows).cast("long")).withColumn(
+        _CARRY, F.lit(0)
+    )
+    pos = F.col("turn_idx") % chunk_rows
+
+    # tail of each chunk → carry-in context rows for the next chunk
+    carry_fwd = (
+        base.filter(pos >= chunk_rows - overlap)
+        .withColumn(_CHUNK, F.col(_CHUNK) + 1)
+        .withColumn(_CARRY, F.lit(1))
+    )
+    parts = [base, carry_fwd]
+    if include_leads:
+        # head of each chunk (except chunk 0) → carry-back context rows
+        carry_back = (
+            base.filter((pos < 1) & (F.col(_CHUNK) > 0))
+            .withColumn(_CHUNK, F.col(_CHUNK) - 1)
+            .withColumn(_CARRY, F.lit(1))
+        )
+        parts.append(carry_back)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    w = Window.partitionBy("conv_id", _CHUNK).orderBy("turn_idx", "ts")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wroll = w.rowsBetween(-(rolling_k - 1), Window.currentRow)
+
+    prev_ts = F.lag("ts").over(w)
+    real = F.col(_CARRY) == 0
+    is_tool = (F.col("tool").isNotNull() & (F.col("tool") != F.lit(""))).cast("int")
+
+    out = (
+        u.withColumn("prev_ts", prev_ts)
+        .withColumn("inter_turn_s", F.col("ts").cast("double") - prev_ts.cast("double"))
+        .withColumn("prev_role", F.lag("role").over(w))
+        .withColumn(
+            "role_alternated",
+            F.when(F.col("prev_role").isNull(), F.lit(None).cast("boolean")).otherwise(
+                F.col("role") != F.col("prev_role")
+            ),
+        )
+        .withColumn("is_tool_call", is_tool)
+    )
+
+    # rolling window: raw values — carry rows ARE the true previous turns
+    out = out.withColumn("tool_calls_last_k", F.sum("is_tool_call").over(wroll))
+
+    if include_leads:
+        # the carry-back row (next chunk's first turn) sits at the end of
+        # this chunk's window, so lead(1) is exact at chunk seams
+        out = out.withColumn("lead_ts", F.lead("ts").over(w)).withColumn(
+            "lead_role", F.lead("role").over(w)
+        )
+
+    # cumulative: only real rows contribute (carry rows were already
+    # counted in their home chunk)
+    contrib_tool = F.when(real, F.col("is_tool_call")).otherwise(0)
+    brk = F.when(F.col("inter_turn_s") > F.lit(float(session_gap_s)), 1).otherwise(0)
+    contrib_brk = F.when(real, brk).otherwise(0)
+    out = (
+        out.withColumn("_tool_cum_w", F.sum(contrib_tool).over(wcum))
+        .withColumn("_brk", brk)
+        .withColumn("_brk_cum_w", F.sum(contrib_brk).over(wcum))
+    )
+
+    # forward-fill sources (carry rows are legitimate earlier turns, so
+    # they may supply fill values within the chunk)
+    tool_name = F.when(F.col("is_tool_call") == 1, F.get_json_object("tool", "$.name"))
+    out = out.withColumn("_tool_name_w", F.last(tool_name, ignorenulls=True).over(wcum))
+    # session-start turn: first real turn of the conversation or any break row
+    sess_start_src = F.when(
+        real & ((F.col("turn_idx") == 0) | (F.col("_brk") == 1)), F.col("turn_idx")
+    )
+    out = out.withColumn("_sess_start_w", F.last(sess_start_src, ignorenulls=True).over(wcum))
+
+    # ---- chunk summaries → cross-chunk offsets (tiny second pass) ----
+    summaries = (
+        out.groupBy("conv_id", _CHUNK)
+        .agg(
+            F.sum(contrib_tool).alias("_tool_tot"),
+            F.sum(contrib_brk).alias("_brk_tot"),
+            F.max_by("_tool_name_w", F.when(F.col("_tool_name_w").isNotNull(), F.col("turn_idx"))).alias(
+                "_tool_name_last"
+            ),
+            F.max(F.when(sess_start_src.isNotNull(), F.col("turn_idx"))).alias(
+                "_sess_start_last"
+            ),
+        )
+    )
+    woff = (
+        Window.partitionBy("conv_id")
+        .orderBy(_CHUNK)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = summaries.select(
+        "conv_id",
+        _CHUNK,
+        F.coalesce(F.sum("_tool_tot").over(woff), F.lit(0)).alias("_tool_off"),
+        F.coalesce(F.sum("_brk_tot").over(woff), F.lit(0)).alias("_brk_off"),
+        F.last("_tool_name_last", ignorenulls=True).over(woff).alias("_tool_name_off"),
+        F.last("_sess_start_last", ignorenulls=True).over(woff).alias("_sess_start_off"),
+    )
+
+    joined = out.filter(real).join(offsets, ["conv_id", _CHUNK])
+
+    result = (
+        joined.withColumn("tool_calls_cum", F.col("_tool_cum_w") + F.col("_tool_off"))
+        .withColumn("session_id", F.col("_brk_cum_w") + F.col("_brk_off"))
+        .withColumn(
+            "last_tool_name", F.coalesce(F.col("_tool_name_w"), F.col("_tool_name_off"))
+        )
+        .withColumn(
+            "_sess_start", F.coalesce(F.col("_sess_start_w"), F.col("_sess_start_off"))
+        )
+    )
+    # turn_in_session: position within session (sessions are turn_idx
+    # ranges, so the offset form is exact)
+    result = result.withColumn(
+        "turn_in_session", F.col("turn_idx") - F.col("_sess_start")
+    )
+
+    drop = [c for c in result.columns if c.startswith("_")]
+    return result.drop(*drop)
+
+
+def diagnose_conversation_skew(df: DataFrame, top_n: int = 10) -> DataFrame:
+    """Per-conversation row counts (descending) — the operational check
+    before choosing chunk_rows."""
+    return (
+        df.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .orderBy(F.col("n_turns").desc())
+        .limit(top_n)
+    )

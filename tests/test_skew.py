@@ -1,0 +1,80 @@
+"""Salted (chunked) window features must be value-identical to the
+unsalted reference implementation — including across chunk seams — while
+bounding the largest window partition."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fluvio_jolt_spark.operators.skew import (
+    diagnose_conversation_skew,
+    with_turn_features_salted,
+)
+from fluvio_jolt_spark.operators.window_features import with_turn_features
+
+FEATURES = [
+    "prev_ts",
+    "inter_turn_s",
+    "prev_role",
+    "role_alternated",
+    "is_tool_call",
+    "tool_calls_last_k",
+    "tool_calls_cum",
+    "session_id",
+    "turn_in_session",
+    "last_tool_name",
+    "lead_ts",
+    "lead_role",
+]
+
+
+def _cmp(a: pd.DataFrame, b: pd.DataFrame):
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in FEATURES:
+        av = a[c].to_numpy(dtype=object)
+        bv = b[c].to_numpy(dtype=object)
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(av, bv))
+            if not ((pd.isna(x) and pd.isna(y)) or x == y)
+        ]
+        assert not bad, f"{c}: {len(bad)} mismatches, first {bad[:3]}"
+
+
+@pytest.mark.parametrize("chunk_rows", [7, 64])
+def test_salted_equals_unsalted(spark, transcripts_small, chunk_rows):
+    """chunk_rows=7 forces many seams (every conversation splits);
+    chunk_rows=64 splits only the bigger ones."""
+    df, _ = transcripts_small
+    want = with_turn_features(df).toPandas()
+    got = with_turn_features_salted(df, chunk_rows=chunk_rows).toPandas()
+    _cmp(got, want)
+
+
+def test_salted_row_count_preserved(spark, transcripts_small):
+    df, _ = transcripts_small
+    assert with_turn_features_salted(df, chunk_rows=16).count() == df.count()
+
+
+def test_mega_conversation_present(spark, transcripts_small):
+    """The generator must produce skew worth salting."""
+    df, _ = transcripts_small
+    top = diagnose_conversation_skew(df, 2).collect()
+    total = df.count()
+    assert top[0].n_turns > 0.02 * total
+
+
+def test_salted_bounds_partition_size(spark, transcripts_small):
+    """Max rows per (conv_id, chunk) window partition is bounded by
+    chunk_rows + overlap."""
+    from pyspark.sql import functions as F
+
+    df, _ = transcripts_small
+    chunk_rows = 64
+    chunked = df.withColumn("_chunk", (F.col("turn_idx") / chunk_rows).cast("long"))
+    sizes = chunked.groupBy("conv_id", "_chunk").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= chunk_rows

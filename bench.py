@@ -1,0 +1,152 @@
+"""Benchmark harness: end-to-end feature-vector throughput (turns/sec)
+plus headline query timings at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "turns_per_sec": ..., "scaling": {...}}
+
+The flagship pipeline is the north-rule job: synthetic transcripts at
+the sf's density → vectorized Jolt reshape of every turn payload →
+windowed features (salted) → point-in-time as-of join → parquet sink.
+
+Scaling evidence (BASELINE.md protocol): run the identical flagship job
+at local[8] and local[32] in subprocesses and report
+efficiency = T8 / T32 / 4 (≥ 0.8 target). Enabled via
+SPARK_GRAFT_SCALING=1 (the default single-process run keeps the
+driver's per-round bench fast).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_flagship(spark, n_turns: int, out_dir: str) -> int:
+    from fluvio_jolt_spark.operators.asof import asof_join
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
+    from fluvio_jolt_spark.operators.skew import with_turn_features_salted
+    from fluvio_jolt_spark.sources.transcripts import read_transcripts
+
+    turns, snaps = read_transcripts(spark, n_turns=n_turns)
+    reshaped = jolt_reshape(turns, reference_bench_spec(), columns="text")
+    feats = with_turn_features_salted(reshaped, chunk_rows=8192)
+    joined = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
+    joined.write.mode("overwrite").parquet(out_dir)
+    return n_turns
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    for name, q in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        df = q(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    from fluvio_jolt_spark.plans.session import build_session
+    from fluvio_jolt_spark.sources.transcripts import materialize, sf_to_n_turns
+
+    sf = _sf_from_dir(SF_DIR)
+    n_turns = sf_to_n_turns(sf)
+    materialize(n_turns)  # generate outside the timed region
+
+    spark = build_session(app_name="fjs-bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # warm-up (JVM/JIT/Python workers)
+        run_flagship(spark, max(n_turns // 10, 1000), tmp + "/warm")
+        t0 = time.perf_counter()
+        run_flagship(spark, n_turns, tmp + "/out")
+        flagship_sec = time.perf_counter() - t0
+
+    queries = bench_queries(spark, SF_DIR)
+    spark.stop()
+
+    result = {
+        "metric": "turns/sec end-to-end feature-vector throughput",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / flagship_sec, 1),
+        "queries": queries,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        result["scaling"] = scaling_runs(n_turns)
+
+    print(json.dumps(result))
+
+
+def scaling_runs(n_turns: int) -> dict:
+    """Same job, two parallelism levels (local[8] vs local[32]), fresh
+    JVM each, median of 3 — the sandbox proxy for N→4N executors."""
+    out = {}
+    for cores in (8, 32):
+        secs = []
+        for _ in range(3):
+            secs.append(_one_scaling_run(cores, n_turns))
+        secs.sort()
+        out[f"local[{cores}]"] = {
+            "runs_sec": secs,
+            "median_sec": secs[1],
+            "turns_per_sec": round(n_turns / secs[1], 1),
+        }
+    t8 = out["local[8]"]["turns_per_sec"]
+    t32 = out["local[32]"]["turns_per_sec"]
+    out["scaling_efficiency_8_to_32"] = round(t32 / (4 * t8), 3)
+    return out
+
+
+def _one_scaling_run(cores: int, n_turns: int) -> float:
+    code = f"""
+import sys, time, tempfile
+sys.path.insert(0, {str(REPO)!r})
+from fluvio_jolt_spark.plans.session import build_session
+import bench
+spark = build_session(app_name="fjs-scale", master="local[{cores}]",
+                      shuffle_partitions={cores})
+with tempfile.TemporaryDirectory() as tmp:
+    bench.run_flagship(spark, max({n_turns} // 10, 1000), tmp + "/warm")
+    t0 = time.perf_counter()
+    bench.run_flagship(spark, {n_turns}, tmp + "/out")
+    print("ELAPSED", time.perf_counter() - t0)
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=str(REPO)
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("ELAPSED"):
+            return float(line.split()[1])
+    raise RuntimeError(f"scaling run failed:\n{proc.stdout}\n{proc.stderr}")
+
+
+if __name__ == "__main__":
+    main()

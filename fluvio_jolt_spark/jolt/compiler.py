@@ -50,9 +50,16 @@ THRASH = Thrash()
 
 
 class JoltObject:
-    """A compiled shift spec object (cf. deserialize.rs:19-25)."""
+    """A compiled shift spec object (cf. deserialize.rs:19-25).
 
-    __slots__ = ("infallible", "literal", "amp", "pipes")
+    ``literal_map`` and per-pipes-entry literal frozensets are pure
+    lookup accelerations: duplicate LHS keys are rejected at compile
+    time and two distinct literals can't match the same input key, so a
+    hash probe is observationally identical to the reference's ordered
+    scan. A pipes entry mixing globs and literals keeps the ordered scan
+    (an earlier glob alternative must win and supply its captures)."""
+
+    __slots__ = ("infallible", "literal", "amp", "pipes", "literal_map")
 
     def __init__(self):
         # list[(lhs, list[Rhs])] — $ / @ / # entries, spec order.
@@ -61,8 +68,13 @@ class JoltObject:
         self.literal: list[tuple[str, "REntry"]] = []
         # list[((path_idx, match_idx), rentry)]
         self.amp: list[tuple[tuple[int, int], "REntry"]] = []
-        # list[(list[Stars], rentry)]
-        self.pipes: list[tuple[list[Stars], "REntry"]] = []
+        # list[(list[Stars], rentry, exact_set|None)]
+        self.pipes: list[tuple[list[Stars], "REntry", frozenset | None]] = []
+        self.literal_map: dict[str, "REntry"] = {}
+
+    def finish(self) -> "JoltObject":
+        self.literal_map = dict(self.literal)
+        return self
 
 
 # An REntry (the value of a shift spec key) is one of:
@@ -120,12 +132,17 @@ def compile_shift_object(spec: dict) -> JoltObject:
         elif isinstance(lhs, AmpLhs):
             obj.amp.append(((lhs.path_idx, lhs.match_idx), _compile_rentry(value)))
         elif isinstance(lhs, PipesLhs):
-            obj.pipes.append((lhs.alternatives, _compile_rentry(value)))
+            exact = (
+                frozenset(s.segments[0] for s in lhs.alternatives)
+                if all(len(s.segments) == 1 for s in lhs.alternatives)
+                else None
+            )
+            obj.pipes.append((lhs.alternatives, _compile_rentry(value), exact))
         elif isinstance(lhs, LiteralLhs):
             obj.literal.append((lhs.key, _compile_rentry(value)))
         else:  # pragma: no cover
             raise SpecError(f"unhandled lhs type for key {key!r}")
-    return obj
+    return obj.finish()
 
 
 class ShiftOp:
@@ -136,17 +153,27 @@ class ShiftOp:
 
 
 class DefaultOp:
-    __slots__ = ("spec",)
+    """Spec kept raw (spec.rs:220-221) plus leaves precompiled to
+    normalized pointer-token lists — the walk is per-spec work, not
+    per-record work."""
+
+    __slots__ = ("spec", "leaves")
 
     def __init__(self, spec: Any):
+        from .pointer import compile_leaf_paths
+
         self.spec = spec
+        self.leaves = compile_leaf_paths(spec)
 
 
 class RemoveOp:
-    __slots__ = ("spec",)
+    __slots__ = ("spec", "leaves")
 
     def __init__(self, spec: Any):
+        from .pointer import compile_leaf_paths
+
         self.spec = spec
+        self.leaves = compile_leaf_paths(spec)
 
 
 SpecEntry = Union[ShiftOp, DefaultOp, RemoveOp]

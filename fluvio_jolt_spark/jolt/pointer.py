@@ -47,6 +47,12 @@ def _rfc6901_tokens(raw_tokens: list[str]) -> list[str]:
     return [t.replace("~1", "/").replace("~0", "~") for t in joined.split("/")]
 
 
+def compile_leaf_paths(spec: Any) -> list[tuple[list[str], Any]]:
+    """Precompile a default/remove spec into (normalized_tokens, leaf)
+    pairs — the RFC6901 round trip happens once per spec, not per record."""
+    return [(_rfc6901_tokens(raw), leaf) for raw, leaf in spec_leaves(spec)]
+
+
 def _parse_array_index(token: str) -> Optional[int]:
     if token.startswith("+"):
         return None
@@ -57,10 +63,10 @@ def _parse_array_index(token: str) -> Optional[int]:
     return int(token)
 
 
-def pointer_get(doc: Any, raw_tokens: list[str]) -> Any:
-    """Resolve a pointer; returns _ABSENT sentinel when not found."""
+def tokens_get(doc: Any, tokens: list[str]) -> Any:
+    """Resolve normalized pointer tokens; _ABSENT sentinel when missing."""
     cur = doc
-    for token in _rfc6901_tokens(raw_tokens):
+    for token in tokens:
         if isinstance(cur, dict):
             if token in cur:
                 cur = cur[token]
@@ -76,51 +82,38 @@ def pointer_get(doc: Any, raw_tokens: list[str]) -> Any:
     return cur
 
 
-def pointer_exists(doc: Any, raw_tokens: list[str]) -> bool:
-    return pointer_get(doc, raw_tokens) is not _ABSENT
+def tokens_exists(doc: Any, tokens: list[str]) -> bool:
+    return tokens_get(doc, tokens) is not _ABSENT
 
 
-def pointer_insert(doc: Any, raw_tokens: list[str], value: Any) -> None:
+def tokens_insert(doc: Any, tokens: list[str], value: Any) -> None:
     """Create missing intermediate objects along the path, then merge the
     value at the leaf (cf. insert/merge, lib.rs:90-118). Traversal only
     descends through objects — a non-object intermediate silently
     no-ops, exactly as the reference's try_fold does."""
-    cur = doc
-    for token in _rfc6901_tokens(raw_tokens):
-        if not isinstance(cur, dict):
-            return
-        if token not in cur:
-            cur[token] = {}
-        cur = cur[token]
-    # merge: object ⊕ object = key-union (new wins), else the caller
-    # must overwrite — but the leaf here is always reached via its
-    # parent dict, so emulate by mutating the parent.
-    _merge_in_place(doc, raw_tokens, value)
-
-
-def _merge_in_place(doc: Any, raw_tokens: list[str], value: Any) -> None:
-    tokens = _rfc6901_tokens(raw_tokens)
     if not tokens:
         return  # merging into the root is not reachable via default's flow
     cur = doc
     for token in tokens[:-1]:
         if not isinstance(cur, dict):
             return
-        cur = cur.get(token)
+        if token not in cur:
+            cur[token] = {}
+        cur = cur[token]
     if not isinstance(cur, dict):
         return
     leaf = tokens[-1]
     existing = cur.get(leaf)
+    # merge: object ⊕ object = key-union (new wins per key), else overwrite
     if isinstance(existing, dict) and isinstance(value, dict):
         existing.update(value)
     else:
         cur[leaf] = value
 
 
-def pointer_delete(doc: Any, raw_tokens: list[str]) -> None:
+def tokens_delete(doc: Any, tokens: list[str]) -> None:
     """Remove the leaf key if its parent resolves to an object
     (cf. delete, lib.rs:120-125)."""
-    tokens = _rfc6901_tokens(raw_tokens)
     if not tokens:
         return
     cur = doc
@@ -138,3 +131,22 @@ def pointer_delete(doc: Any, raw_tokens: list[str]) -> None:
             return
     if isinstance(cur, dict):
         cur.pop(tokens[-1], None)
+
+
+# Raw-token wrappers (apply the RFC6901 round trip first).
+
+
+def pointer_get(doc: Any, raw_tokens: list[str]) -> Any:
+    return tokens_get(doc, _rfc6901_tokens(raw_tokens))
+
+
+def pointer_exists(doc: Any, raw_tokens: list[str]) -> bool:
+    return tokens_get(doc, _rfc6901_tokens(raw_tokens)) is not _ABSENT
+
+
+def pointer_insert(doc: Any, raw_tokens: list[str], value: Any) -> None:
+    tokens_insert(doc, _rfc6901_tokens(raw_tokens), value)
+
+
+def pointer_delete(doc: Any, raw_tokens: list[str]) -> None:
+    tokens_delete(doc, _rfc6901_tokens(raw_tokens))

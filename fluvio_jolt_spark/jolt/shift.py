@@ -24,7 +24,6 @@ Behavioral parity with the reference interpreter
 
 from __future__ import annotations
 
-import copy
 from typing import Any, Optional
 
 from .ast import (
@@ -57,6 +56,7 @@ from .errors import (
 from .numbers import number_to_string
 
 ROOT_KEY = "root"
+_MISSING = object()
 
 # A path frame is (captures: list[str], node: Any). captures[0] is the
 # whole matched key; further entries are glob captures.
@@ -111,15 +111,17 @@ def _match_obj_and_key(
     obj: JoltObject, path: list[Frame], k: str, v: Any, out_box: list[Any]
 ) -> None:
     """Probe the fallible buckets for one input key; first match wins and
-    exactly one rule fires per key (shift.rs:105-144)."""
-    for lit, rentry in obj.literal:
-        if lit == k:
-            path.append(([lit], v))
-            try:
-                _apply_match(v, rentry, path, out_box)
-            finally:
-                path.pop()
-            return
+    exactly one rule fires per key (shift.rs:105-144). Literal and
+    all-literal-pipes probes use compiled hash lookups (see
+    JoltObject docstring for why that preserves reference semantics)."""
+    rentry = obj.literal_map.get(k, _MISSING)
+    if rentry is not _MISSING:
+        path.append(([k], v))
+        try:
+            _apply_match(v, rentry, path, out_box)
+        finally:
+            path.pop()
+        return
 
     for (p_idx, m_idx), rentry in obj.amp:
         m = _get_match(p_idx, m_idx, path)
@@ -131,7 +133,16 @@ def _match_obj_and_key(
                 path.pop()
             return
 
-    for alternatives, rentry in obj.pipes:
+    for alternatives, rentry, exact in obj.pipes:
+        if exact is not None:
+            if k in exact:
+                path.append(([k], v))
+                try:
+                    _apply_match(v, rentry, path, out_box)
+                finally:
+                    path.pop()
+                return
+            continue
         for stars in alternatives:
             m = _match_stars(stars.segments, k)
             if m is not None:
@@ -157,8 +168,10 @@ def _clone(v: Any) -> Any:
     # The reference clones the value on every write (shift.rs:55,156);
     # container copies keep output slots independent of the input tree
     # and of each other when one value is written to several paths.
-    if isinstance(v, (dict, list)):
-        return copy.deepcopy(v)
+    if isinstance(v, dict):
+        return {k: _clone(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_clone(x) for x in v]
     return v
 
 

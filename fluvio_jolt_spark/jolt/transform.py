@@ -9,48 +9,58 @@ fluvio-jolt/src/default.rs:5-12); remove deletes present leaf paths
 
 from __future__ import annotations
 
-import copy
 import json
 from typing import Any, Union
 
 from .compiler import DefaultOp, RemoveOp, ShiftOp, TransformSpec, compile_spec_cached
-from .pointer import pointer_delete, pointer_exists, pointer_insert, spec_leaves
-from .shift import apply_shift
+from .pointer import compile_leaf_paths, tokens_delete, tokens_exists, tokens_insert
+from .shift import _clone, apply_shift
 
 
 def apply_default(value: Any, spec: Any) -> Any:
-    for path, leaf in spec_leaves(spec):
-        if not pointer_exists(value, path):
-            pointer_insert(value, path, copy.deepcopy(leaf))
+    """Insert spec leaves at absent paths; present values (incl. null) win."""
+    leaves = spec.leaves if isinstance(spec, DefaultOp) else compile_leaf_paths(spec)
+    for tokens, leaf in leaves:
+        if not tokens_exists(value, tokens):
+            tokens_insert(value, tokens, _clone(leaf))
     return value
 
 
 def apply_remove(value: Any, spec: Any) -> Any:
-    for path, _leaf in spec_leaves(spec):
-        if pointer_exists(value, path):
-            pointer_delete(value, path)
+    leaves = spec.leaves if isinstance(spec, RemoveOp) else compile_leaf_paths(spec)
+    for tokens, _leaf in leaves:
+        if tokens_exists(value, tokens):
+            tokens_delete(value, tokens)
     return value
 
 
-def transform(value: Any, spec: Union[TransformSpec, list, str]) -> Any:
+def transform(value: Any, spec: Union[TransformSpec, list, str], copy_input: bool = True) -> Any:
     """Apply a compiled (or raw) transform spec to one JSON value.
 
     ``spec`` may be a compiled TransformSpec, a parsed JSON list, or a
-    JSON string. The input value is not mutated.
+    JSON string. With ``copy_input=True`` (default) the input value is
+    never mutated; pass False when the caller owns the tree (e.g. a
+    throwaway json.loads result) to skip the defensive copy.
     """
     if isinstance(spec, str):
         spec = compile_spec_cached(spec)
     elif not isinstance(spec, TransformSpec):
         spec = TransformSpec.from_value(spec)
 
-    result = copy.deepcopy(value)
+    result = value
+    owned = not copy_input
     for entry in spec.entries:
         if isinstance(entry, ShiftOp):
             result = apply_shift(entry, result)
-        elif isinstance(entry, DefaultOp):
-            result = apply_default(result, entry.spec)
-        else:  # RemoveOp
-            result = apply_remove(result, entry.spec)
+            owned = True  # shift builds a fresh tree
+        else:
+            if not owned:
+                result = _clone(result)
+                owned = True
+            if isinstance(entry, DefaultOp):
+                result = apply_default(result, entry)
+            else:  # RemoveOp
+                result = apply_remove(result, entry)
     return result
 
 
@@ -58,7 +68,7 @@ def transform_json(text: str, spec: Union[TransformSpec, list, str]) -> str:
     """String-in/string-out convenience used by the vectorized Spark
     stage: parse, transform, re-serialize with insertion order preserved
     (the per-turn text-equality invariant)."""
-    return dumps_canonical(transform(json.loads(text), spec))
+    return dumps_canonical(transform(json.loads(text), spec, copy_input=False))
 
 
 def dumps_canonical(value: Any) -> str:

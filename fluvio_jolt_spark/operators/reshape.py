@@ -51,7 +51,7 @@ def jolt_transform_series(values: "pd.Series", spec_json: str, on_error: str = "
             errs.append(None)
             continue
         try:
-            out.append(dumps_canonical(transform(loads(text), spec)))
+            out.append(dumps_canonical(transform(loads(text), spec, copy_input=False)))
             errs.append(None)
         except Exception as e:  # noqa: BLE001 — dead-letter anything
             if on_error == "fail":

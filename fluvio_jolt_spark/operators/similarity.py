@@ -1,0 +1,240 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k vs one query vector:
+                         Catalyst higher-order functions (zip_with /
+                         aggregate), one pass, no Python. The baseline.
+* ``cosine_topk_pandas`` — the same in a vectorized Arrow batch with
+                         numpy matmul; wins when k or dims are large
+                         (BLAS beats codegen'd scalar loops).
+* ``lsh_ann_topk``     — random-hyperplane (SRP) LSH bucketing: probe
+                         only vectors sharing the query's bucket (and
+                         optionally neighboring buckets); the scale path
+                         — the expensive exact scoring touches a small
+                         candidate slice.
+* ``ivf_assign/ivf_topk`` — IVF-flat: k-means-lite centroids (sampled,
+                         driver-side, deterministic), cluster assignment
+                         as a column; queries probe nprobe clusters.
+                         Pre-partitioning by cluster id = partition
+                         pruning for vector search.
+* ``embedding_near_dup`` — all-pairs near-duplicate via SRP-LSH blocking
+                         + exact cosine verify on candidates.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_sim_col(vec_col, query: list[float]):
+    """cos(v, q) as a Catalyst expression (fold-left dot + norms)."""
+    q = [float(x) for x in query]
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = _as_double(vec_col)
+    dot = F.aggregate(F.zip_with(v, qlit, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    vnorm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    qnorm = math.sqrt(sum(x * x for x in q))
+    return dot / (vnorm * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    scored = df.select(id_col, cosine_sim_col(F.col(vec_col), query).alias("cos_sim"))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def cosine_topk_pandas(
+    df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-partition numpy top-k then a global k-merge — no full sort,
+    no full shuffle: only ≤ k rows per partition leave the executor."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            top = np.argsort(-sims, kind="stable")[:k]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top], "cos_sim": sims[top]})
+
+    partial = df.mapInPandas(score, schema=f"{id_col} long, cos_sim double")
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+# ---- SRP-LSH ----
+
+
+def _srp_planes(dims: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dims))
+
+
+def srp_bucket_col(vec_col, planes: np.ndarray):
+    """Sign-random-projection bucket id (one long) as a Catalyst
+    expression: sum of bits from per-plane dot products."""
+    v = _as_double(vec_col)
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(F.zip_with(v, plit, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+        acc = acc + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP bucket is within
+    probe_hamming bits of the query's bucket. At scale the table is
+    written partitioned by bucket → partition pruning makes the probe
+    read ~ (multiprobed buckets / 2^n_planes) of the data."""
+    dims = len(query)
+    planes = _srp_planes(dims, n_planes, seed)
+    q = np.asarray(query, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) >= 0))
+    probe = [qbucket]
+    if probe_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probe += [
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+
+    bucketed = df.withColumn("_bucket", srp_bucket_col(F.col(vec_col), planes))
+    candidates = bucketed.filter(F.col("_bucket").isin(probe))
+    return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs near-duplicate detection: SRP bucket equality join
+    (blocking) → exact cosine verify. Returns (id_a, id_b, cos_sim)."""
+    # sample one row to get dims
+    first = df.select(vec_col).first()
+    dims = len(first[0])
+    planes = _srp_planes(dims, n_planes, seed)
+    b = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"),
+        srp_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l._bucket") == F.col("r._bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    sim = dot / (norm(F.col("l._v")) * norm(F.col("r._v")))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---- IVF-flat ----
+
+
+def ivf_train_centroids(
+    df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding", seed: int = 42,
+    sample_rows: int = 2048, iters: int = 5
+) -> np.ndarray:
+    """Deterministic k-means-lite on a bounded driver-side sample.
+    At 100 TB the sample is still bounded (first sample_rows of a
+    seeded sample) — centroid training cost does not grow with data."""
+    sample = (
+        df.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample_rows).collect()
+    )
+    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(0)
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Cluster-id column via argmin distance — vectorized numpy in Arrow
+    batches (BLAS), broadcastable centroid matrix."""
+    cents = centroids.astype(np.float64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (m * m).sum(1)[:, None] - 2 * (m @ cents.T) + (cents * cents).sum(1)[None, :]
+            pdf = pdf.copy()
+            pdf["ivf_cluster"] = d.argmin(1).astype("int32")
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    # build a fresh StructType — StructType.add would mutate the
+    # DataFrame's cached schema object in place
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("ivf_cluster", T.IntegerType(), False)]
+    )
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe nearest clusters only. When `assigned` is stored
+    partitioned by ivf_cluster, the filter prunes partitions at scan."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q) ** 2).sum(1)
+    probe = [int(c) for c in d.argsort()[:nprobe]]
+    return cosine_topk(
+        assigned.filter(F.col("ivf_cluster").isin(probe)), query, k, vec_col, id_col
+    )

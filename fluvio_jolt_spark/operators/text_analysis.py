@@ -1,0 +1,102 @@
+"""Text-analysis operators for document pipelines — all Catalyst
+expressions (no Python in the hot path): language-ID heuristic, quality
+scoring, token counting, and document fingerprinting.
+
+These run per-row with no shuffle; at 100 TB they pipeline directly
+over the parquet scan with column pruning (only `text` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.col(text_col), r"\s+")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens plus a BPE-ish subword estimate (≈ chars/4,
+    the common heuristic for byte-pair vocabularies)."""
+    toks = tokens_col(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("n_chars", F.length(text_col))
+        .withColumn("n_subwords_est", F.ceil(F.length(text_col) / F.lit(4.0)).cast("int"))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + a composite score in [0,1]:
+    type-token ratio, mean word length, stopword ratio, punctuation and
+    digit density, all-caps ratio."""
+    toks = tokens_col(text_col)
+    n = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    mean_wl = (F.length(text_col).cast("double") - (n - 1)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS["en"]))).cast("double") / n
+    punct = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, r"[.,;:!?]", ""))
+    ).cast("double") / F.length(text_col).cast("double")
+    digits = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, r"[0-9]", ""))
+    ).cast("double") / F.length(text_col).cast("double")
+    caps = F.size(F.filter(toks, lambda t: t.rlike("^[A-Z]{2,}$"))).cast("double") / n
+
+    out = (
+        df.withColumn("type_token_ratio", ttr)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("stopword_ratio", stop)
+        .withColumn("punct_ratio", punct)
+        .withColumn("digit_ratio", digits)
+        .withColumn("caps_ratio", caps)
+    )
+    score = (
+        F.least(F.col("type_token_ratio") * 2, F.lit(1.0)) * 0.3
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 1.0)
+        .otherwise(0.3)
+        * 0.3
+        + F.least(F.col("stopword_ratio") * 10, F.lit(1.0)) * 0.2
+        + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = fraction of tokens in each
+    language's stopword list; argmax wins, 'und' (undetermined) when all
+    scores are 0. One pass, pure expressions."""
+    toks = tokens_col(text_col)
+    n = F.size(toks).cast("double")
+
+    def _stop_ratio(sw: list[str]):
+        # one-arg lambda: F.filter passes the array index to 2-arg lambdas
+        return F.size(F.filter(toks, lambda t: t.isin(*sw))).cast("double") / n
+
+    scores = [(lang, _stop_ratio(sw)) for lang, sw in _STOPWORDS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    return df.withColumn("pred_lang", pred).withColumn("lang_score", F.round(best, 6))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", window: int = 64) -> DataFrame:
+    """Document fingerprint: xxhash64 of the normalized text plus a
+    prefix rolling-window hash (first `window` chars) for fast
+    prefix-dup detection."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fingerprint", F.xxhash64(norm)).withColumn(
+        "prefix_fingerprint", F.xxhash64(F.substring(norm, 1, window))
+    )

@@ -1,0 +1,147 @@
+"""Dedup + similarity operators over the driver's documents/embeddings
+tables, with brute-force oracles computed in numpy/python."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fluvio_jolt_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    simhash_candidates,
+)
+from fluvio_jolt_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    embedding_near_dup,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
+    lsh_ann_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    # add controlled duplicates + near-duplicates
+    dup = df.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        df.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra token")))
+    )
+    return df.unionByName(dup).unionByName(near)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    dups = out[out.n_copies > 1]
+    assert set(dups[~dups.is_canonical].doc_id) == {100000, 100001, 100002, 100003, 100004}
+    originals = out[out.doc_id < 100000]
+    assert (originals[originals.n_copies == 1].is_canonical).all()
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs):
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16).toPandas()
+    pairs = set(map(tuple, cands[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):
+        assert (i, i + 100000) in pairs, f"exact dup {i} not a candidate"
+    found_near = sum((i, i + 200000) in pairs for i in range(5))
+    assert found_near >= 3, f"only {found_near}/5 near-dups blocked"
+
+
+def test_lsh_verify_pipeline(spark, docs):
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    verified = jaccard_verify(cands, docs, threshold=0.8).toPandas()
+    pairs = set(map(tuple, verified[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):
+        assert (i, i + 100000) in pairs
+    assert (verified.jaccard >= 0.8).all()
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = minhash_signatures(docs.limit(10), num_hashes=16).toPandas()
+    assert all(len(s) == 16 for s in sig.minhash)
+
+
+def test_simhash_identical_docs_same_fp(spark, docs):
+    fps = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    for i in range(5):
+        assert fps[i] == fps[i + 100000]
+
+
+def test_simhash_candidates_find_dups(spark, docs):
+    cands = simhash_candidates(docs, max_hamming=3).toPandas()
+    pairs = set(map(tuple, cands[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):
+        assert (i, i + 100000) in pairs
+
+
+def _numpy_topk(emb_pdf, query, k):
+    m = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((emb_pdf["vec_id"].to_numpy(), -sims))
+    return [int(emb_pdf["vec_id"].to_numpy()[i]) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    query = [float(x) for x in pdf[pdf.vec_id == 0].embedding.iloc[0]]
+    want = _numpy_topk(pdf, query, 10)
+    got = cosine_topk(emb, query, k=10).toPandas()["vec_id"].tolist()
+    assert got == want
+
+
+def test_cosine_topk_pandas_agrees(spark, emb):
+    pdf = emb.toPandas()
+    query = [float(x) for x in pdf[pdf.vec_id == 3].embedding.iloc[0]]
+    a = cosine_topk(emb, query, k=8).toPandas()["vec_id"].tolist()
+    b = cosine_topk_pandas(emb, query, k=8).toPandas()["vec_id"].tolist()
+    assert a == b
+
+
+def test_lsh_ann_recall(spark, emb):
+    pdf = emb.toPandas()
+    query = [float(x) for x in pdf[pdf.vec_id == 7].embedding.iloc[0]]
+    exact = set(_numpy_topk(pdf, query, 10))
+    approx = set(
+        lsh_ann_topk(emb, query, k=10, n_planes=6, probe_hamming=2).toPandas()["vec_id"]
+    )
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_embedding_near_dup_self(spark, emb):
+    # plant an exact duplicate vector
+    dup = emb.filter(F.col("vec_id") == 1).withColumn("vec_id", F.lit(99999).cast("long"))
+    df = emb.unionByName(dup)
+    out = embedding_near_dup(df, threshold=0.999).toPandas()
+    assert ((out.id_a == 1) & (out.id_b == 99999)).any()
+
+
+def test_ivf_pipeline(spark, emb):
+    cents = ivf_train_centroids(emb, n_centroids=8)
+    assigned = ivf_assign(emb, cents)
+    counts = assigned.groupBy("ivf_cluster").count().toPandas()
+    assert counts["count"].sum() == emb.count()
+    assert len(counts) >= 2
+
+    pdf = emb.toPandas()
+    query = [float(x) for x in pdf[pdf.vec_id == 11].embedding.iloc[0]]
+    exact = set(_numpy_topk(pdf, query, 5))
+    got = set(ivf_topk(assigned, cents, query, k=5, nprobe=4).toPandas()["vec_id"])
+    assert len(exact & got) >= 3

@@ -83,6 +83,38 @@ def _q_jolt_default_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("props_reshaped").alias("reshaped"))
 
 
+def _q_jolt_dollar_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$ (matched key as data) + @ (matched value) inside a nested spec."""
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape
+
+    spec = json.dumps(
+        [{"operation": "shift", "spec": {"k": {"$": "key_name", "@": "key_val"}}}]
+    )
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = jolt_reshape(ev, spec, columns="props", suffix="_reshaped")
+    return out.select("event_id", F.col("props_reshaped").alias("reshaped"))
+
+
+def _q_jolt_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Escaped dot in the RHS → literal 'a.b' output key."""
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape
+
+    spec = json.dumps([{"operation": "shift", "spec": {"k": "a\\.b"}}])
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = jolt_reshape(ev, spec, columns="props", suffix="_reshaped")
+    return out.select("event_id", F.col("props_reshaped").alias("reshaped"))
+
+
+def _q_jolt_array_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[] output-array append."""
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape
+
+    spec = json.dumps([{"operation": "shift", "spec": {"*": "vals[]"}}])
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = jolt_reshape(ev, spec, columns="props", suffix="_reshaped")
+    return out.select("event_id", F.col("props_reshaped").alias("reshaped"))
+
+
 # ---------------------------------------------------------------- window / temporal
 
 
@@ -167,6 +199,43 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "signup_value")
 
 
+def _q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as asof_join_signup via the applyInPandas merge_asof variant."""
+    from fluvio_jolt_spark.operators.asof import asof_join_pandas
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("signup_value")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join_pandas(left, signups, on="ts", right_on="snap_ts", by="user_id")
+    return out.select("event_id", "user_id", "signup_value")
+
+
+def _q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof chunked sessionizer over events (entity=user_id),
+    checked against the plain SQL sessionization oracle — proves the
+    salted two-pass decomposition is exact on real data."""
+    from fluvio_jolt_spark.operators.skew import with_turn_features_salted
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    shaped = ev.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.when(F.col("event_type") == "purchase", F.lit('{"name":"buy"}'))
+        .otherwise(F.lit(""))
+        .alias("tool"),
+        F.col("ts"),
+    )
+    out = with_turn_features_salted(shaped, chunk_rows=64, include_leads=False)
+    return out.select(
+        "event_id", F.col("conv_id").cast("long").alias("user_id"), "session_id"
+    )
+
+
 def _q_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -222,6 +291,64 @@ def _q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
+
+
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    big = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs (rows-only check: LSH bucketing has no
+    clean ANSI-SQL oracle)."""
+    from fluvio_jolt_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash fingerprints (rows-only: xxhash64 differs from
+    DuckDB's hash)."""
+    from fluvio_jolt_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via SRP-LSH (rows-only: approximation has no exact
+    oracle; exactness is covered by cosine_topk)."""
+    from fluvio_jolt_spark.operators.similarity import lsh_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_ann_topk(emb, q, k=10, n_planes=6, probe_hamming=2)
 
 
 def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,17 +449,29 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jolt_shift_props": _q_jolt_shift_props,
     "jolt_wildcard_props": _q_jolt_wildcard_props,
     "jolt_default_remove": _q_jolt_default_remove,
+    "jolt_dollar_at": _q_jolt_dollar_at,
+    "jolt_escape": _q_jolt_escape,
+    "jolt_array_append": _q_jolt_array_append,
     "lag_latency": _q_lag_latency,
     "sessionize": _q_sessionize,
     "session_agg": _q_session_agg,
     "rolling_counts": _q_rolling_counts,
     "backfill_last_value": _q_backfill,
     "asof_join_signup": _q_asof_join,
+    "asof_join_signup_pandas": _q_asof_join_pandas,
+    "sessionize_salted": _q_sessionize_salted,
     "lead_features": _q_lead_features,
     "tpch_q1": _q_tpch_q1,
     "topk_per_group": _q_topk_per_group,
     "broadcast_join_agg": _q_broadcast_join_agg,
+    "rollup_orders": _q_rollup_orders,
+    "anti_join": _q_anti_join,
+    "semi_join": _q_semi_join,
+    "distinct_union": _q_distinct_union,
     "pivot_event_counts": _q_pivot_event_counts,
+    "minhash_lsh_docs": _q_minhash_lsh_docs,
+    "simhash_docs": _q_simhash_docs,
+    "ann_lsh_topk": _q_ann_lsh_topk,
     "exact_dedup_docs": _q_exact_dedup_docs,
     "jaccard_adjacent_docs": _q_jaccard_adjacent,
     "token_stats": _q_token_stats,
@@ -376,6 +515,21 @@ def oracle_sql() -> dict[str, str]:
         "jolt_default_remove": """
           SELECT event_id, '{"k":-1,"source":"evt"}' AS reshaped FROM events
         """,
+        "jolt_dollar_at": """
+          SELECT event_id,
+                 '{"key_name":"k","key_val":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || '}' AS reshaped
+          FROM events
+        """,
+        "jolt_escape": """
+          SELECT event_id,
+                 '{"a.b":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || '}' AS reshaped
+          FROM events
+        """,
+        "jolt_array_append": """
+          SELECT event_id,
+                 '{"vals":[' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || ']}' AS reshaped
+          FROM events
+        """,
         "lag_latency": """
           SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                  epoch_us(ts) - lag(epoch_us(ts)) OVER
@@ -412,6 +566,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'signup'
           ) s ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
+        "asof_join_signup_pandas": """
+          SELECT e.event_id, e.user_id, s.signup_value
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "sessionize_salted": session_cte
+        + "SELECT event_id, user_id, session_id FROM sess",
         "lead_features": """
           SELECT event_id, user_id,
                  lead(event_type) OVER w AS lead_type,
@@ -445,6 +609,27 @@ def oracle_sql() -> dict[str, str]:
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name
+        """,
+        "rollup_orders": """
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 round(sum(o_totalprice), 4) AS total
+          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "anti_join": """
+          SELECT c_custkey, c_name FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_join": """
+          SELECT c_custkey, c_name FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """,
+        "distinct_union": """
+          SELECT DISTINCT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+          )
         """,
         "pivot_event_counts": """
           SELECT user_id,

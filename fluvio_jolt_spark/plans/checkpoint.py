@@ -31,7 +31,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BUCKET_COL = "_bucket"
+BUCKET_COL = "ckpt_bucket"
 
 
 def with_bucket(df: DataFrame, by: str = "conv_id", n_buckets: int = 16) -> DataFrame:

@@ -1,0 +1,82 @@
+"""Structured Streaming wiring for the engine.
+
+The reference's streaming form is a per-record SmartModule map over a
+Fluvio topic (smartmodule/src/lib.rs:35-44). The Spark-native
+equivalent: ``readStream`` (file/Kafka source) → the SAME
+``jolt_reshape`` stage (mapInPandas works unchanged on streaming
+DataFrames; the spec compiles once per executor and is reused across
+micro-batches) → windowed aggregations with watermarks for late data →
+``writeStream`` sink.
+
+Stateful sessionization for streams uses ``session_window`` (gap-based
+session windows with watermark-driven state eviction) — the streaming
+analogue of the batch gap-cumsum sessionizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fluvio_jolt_spark.operators.reshape import jolt_reshape
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark, path: str, schema: str = TRANSCRIPT_DDL, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source (stand-in for Kafka/Fluvio; swap
+    `.format("kafka")` + value deserialization for a broker source)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_reshape(stream_df: DataFrame, spec_json: str, columns="text") -> DataFrame:
+    """The batch reshape stage applied to a streaming DataFrame —
+    identical code path; Spark runs it per micro-batch."""
+    return jolt_reshape(stream_df, spec_json, columns=columns)
+
+
+def stream_session_agg(
+    stream_df: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-conversation session aggregates via native session windows;
+    the watermark bounds state (late turns beyond it are dropped —
+    the streaming trade-off vs the exact batch sessionizer)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(
+                (F.col("tool").isNotNull() & (F.col("tool") != "")).cast("int")
+            ).alias("n_tool_calls"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+            "n_tool_calls",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query synchronously to completion over the
+    currently-available input (test/demo harness)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

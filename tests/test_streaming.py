@@ -1,0 +1,61 @@
+"""Structured Streaming: the reshape stage and session windows over a
+file stream, checked against their batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
+from fluvio_jolt_spark.sources.transcripts import materialize
+from fluvio_jolt_spark.streaming.stream_reshape import (
+    read_transcript_stream,
+    run_stream_to_memory,
+    stream_reshape,
+    stream_session_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """A small transcript table split into several parquet files so the
+    file stream sees multiple micro-batches."""
+    tpath, _ = materialize(n_turns=2000)
+    d = tmp_path_factory.mktemp("stream_in")
+    df = spark.read.parquet(str(tpath)).repartition(5)
+    df.write.mode("overwrite").parquet(str(d / "turns"))
+    return str(d / "turns")
+
+
+def test_stream_reshape_matches_batch(spark, stream_dir):
+    spec = reference_bench_spec()
+    stream = stream_reshape(
+        read_transcript_stream(spark, stream_dir, max_files_per_trigger=2), spec
+    ).select("conv_id", "turn_idx", "text_reshaped", "text_error")
+    run_stream_to_memory(stream, "reshape_out")
+    got = spark.sql("SELECT * FROM reshape_out").toPandas()
+
+    batch = (
+        jolt_reshape(spark.read.parquet(stream_dir), spec)
+        .select("conv_id", "turn_idx", "text_reshaped", "text_error")
+        .toPandas()
+    )
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(batch) > 0
+    assert (got.text_reshaped == batch.text_reshaped).all()
+    assert got.text_error.isna().all()
+
+
+def test_stream_session_agg(spark, stream_dir):
+    # complete mode: append would hold back sessions the watermark has
+    # not finalized when the bounded stream ends
+    stream = stream_session_agg(read_transcript_stream(spark, stream_dir))
+    run_stream_to_memory(stream, "sess_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM sess_out").toPandas()
+    assert len(got) > 0
+    assert (got.n_turns >= 1).all()
+    assert (got.session_end >= got.session_start).all()
+    # total turns across sessions == input rows
+    assert got.n_turns.sum() == spark.read.parquet(stream_dir).count()

@@ -12,6 +12,11 @@ from __future__ import annotations
 import json
 from typing import Any, Union
 
+try:  # optional fast path — stdlib json is the behavioral reference
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
 from .compiler import DefaultOp, RemoveOp, ShiftOp, TransformSpec, compile_spec_cached
 from .pointer import compile_leaf_paths, tokens_delete, tokens_exists, tokens_insert
 from .shift import _clone, apply_shift
@@ -68,10 +73,18 @@ def transform_json(text: str, spec: Union[TransformSpec, list, str]) -> str:
     """String-in/string-out convenience used by the vectorized Spark
     stage: parse, transform, re-serialize with insertion order preserved
     (the per-turn text-equality invariant)."""
-    return dumps_canonical(transform(json.loads(text), spec, copy_input=False))
+    loads = _orjson.loads if _orjson is not None else json.loads
+    return dumps_canonical(transform(loads(text), spec, copy_input=False))
 
 
 def dumps_canonical(value: Any) -> str:
     """Serialize like serde_json::to_string: minimal separators,
-    insertion-ordered keys, UTF-8 passthrough."""
+    insertion-ordered keys, UTF-8 passthrough. orjson when available
+    (same compact format; its float formatting is ryu — the same
+    algorithm serde_json uses); stdlib fallback covers >64-bit ints."""
+    if _orjson is not None:
+        try:
+            return _orjson.dumps(value).decode()
+        except (TypeError, OverflowError):
+            pass  # e.g. ints beyond 64-bit — stdlib handles them
     return json.dumps(value, separators=(",", ":"), ensure_ascii=False)

@@ -39,12 +39,12 @@ def jolt_transform_series(values: "pd.Series", spec_json: str, on_error: str = "
     for it once; the spec compile is memoized per executor.
     """
     from fluvio_jolt_spark.jolt.compiler import compile_spec_cached
-    from fluvio_jolt_spark.jolt.transform import dumps_canonical, transform
+    from fluvio_jolt_spark.jolt.transform import _orjson, dumps_canonical, transform
 
     spec = compile_spec_cached(spec_json)
     out = []
     errs = []
-    loads = json.loads
+    loads = _orjson.loads if _orjson is not None else json.loads
     for text in values:
         if text is None:
             out.append(None)

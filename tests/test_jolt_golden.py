@@ -29,3 +29,17 @@ def test_golden_fixture(fid, fixture):
 def test_corpus_size():
     # 9 integration + 55 java shift + 2 data shift = 66
     assert len(PARAMS) == 66
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference fixture corpus not present")
+@pytest.mark.parametrize("fid,fixture", PARAMS, ids=[p[0] for p in PARAMS])
+def test_golden_fixture_string_path(fid, fixture):
+    """The string-in/string-out path (orjson fast lane when available)
+    must produce byte-identical canonical JSON to the stdlib serializer."""
+    from fluvio_jolt_spark.jolt.transform import transform_json
+
+    got = transform_json(json.dumps(fixture.input), json.dumps(fixture.spec))
+    want = json.dumps(
+        transform(fixture.input, fixture.spec), separators=(",", ":"), ensure_ascii=False
+    )
+    assert got == want

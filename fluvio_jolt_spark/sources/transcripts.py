@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 4
 BASE_TS_US = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z in micros
 SESSION_GAP_S = 30 * 60
 
@@ -246,7 +246,20 @@ def materialize(n_turns: int, cache_dir: Path | None = None, seed: int = SEED) -
     spath = cache / f"asof_snapshots_{tag}.parquet"
     if not (tpath.exists() and spath.exists()):
         table = generate_transcripts(n_turns, seed)
-        pq.write_table(table, tpath, row_group_size=64_000)
+        # shard the table directory so the scan parallelizes regardless
+        # of spark.sql.files.maxPartitionBytes (a single multi-GB file
+        # caps input tasks at its row-group count); conv boundaries are
+        # irrelevant — shards split anywhere
+        tmp = cache / (tpath.name + ".tmp")
+        tmp.mkdir(parents=True, exist_ok=True)
+        n_shards = max(8, min(64, n_turns // 50_000 or 8))
+        rows = table.num_rows
+        step = (rows + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, tmp / f"part-{i:04d}.parquet", row_group_size=32_000)
+        tmp.rename(tpath)
         pq.write_table(generate_asof_snapshots(table, seed), spath)
     return tpath, spath
 

@@ -70,7 +70,9 @@ def run_flagship(spark, n_turns: int, out_dir: str) -> int:
         columns="text",
     )
 
-    out = feats.join(payload, ["conv_id", "turn_idx"])
+    # SHUFFLE_HASH: hash-join on the narrow feature side instead of
+    # sort-merge — skips sorting the KB-sized payload rows entirely
+    out = payload.join(feats.hint("SHUFFLE_HASH"), ["conv_id", "turn_idx"])
     out.write.mode("overwrite").parquet(out_dir)
     return n_turns
 
@@ -124,44 +126,109 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def scaling_runs(n_turns: int) -> dict:
-    """Same job, two parallelism levels (local[8] vs local[32]), fresh
-    JVM each, median of 3 — the sandbox proxy for N→4N executors."""
-    out = {}
-    for cores in (8, 32):
-        secs = []
-        for _ in range(3):
-            secs.append(_one_scaling_run(cores, n_turns))
-        secs.sort()
+def scaling_runs(n_turns: int, pairs=((2, 8), (8, 32)), rounds: int = 3) -> dict:
+    """N→4N scaling evidence, sandbox protocol (see BENCH/BASELINE.md):
+
+    * pinned cpusets (taskset) so local[N] cannot borrow idle cores for
+      GC/Python workers — a real N-executor cluster has none to borrow;
+    * interleaved A/B rounds with fresh JVMs, median of `rounds`, to
+      cancel the shared VM's throughput drift;
+    * RAM-backed scratch + sink (/dev/shm) standing in for per-node
+      local disks (one shared spindle otherwise serializes all configs);
+    * an embarrassingly-parallel pure-Python calibration of the SAME
+      core counts — the machine's attainable ceiling for any
+      thread-scaling comparison (frequency + shared memory bandwidth).
+    """
+    cores_needed = sorted({c for p in pairs for c in p})
+    times: dict[int, list[float]] = {c: [] for c in cores_needed}
+    for _ in range(rounds):
+        for cores in cores_needed:
+            times[cores].append(_one_scaling_run(cores, n_turns))
+
+    out: dict = {}
+    for cores in cores_needed:
+        secs = sorted(times[cores])
+        med = secs[len(secs) // 2]
         out[f"local[{cores}]"] = {
-            "runs_sec": secs,
-            "median_sec": secs[1],
-            "turns_per_sec": round(n_turns / secs[1], 1),
+            "runs_sec": [round(s, 1) for s in secs],
+            "median_sec": round(med, 1),
+            "turns_per_sec": round(n_turns / med, 1),
         }
-    t8 = out["local[8]"]["turns_per_sec"]
-    t32 = out["local[32]"]["turns_per_sec"]
-    out["scaling_efficiency_8_to_32"] = round(t32 / (4 * t8), 3)
+    for lo, hi in pairs:
+        eff = out[f"local[{hi}]"]["turns_per_sec"] / (
+            (hi / lo) * out[f"local[{lo}]"]["turns_per_sec"]
+        )
+        out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+    out["platform_ceiling"] = _platform_ceiling(cores_needed)
+    return out
+
+
+def _platform_ceiling(cores_list) -> dict:
+    """Measured thread-scaling ceiling of this box: N independent
+    processes running the pure jolt kernel (zero Spark, zero sharing)."""
+    import multiprocessing as mp
+
+    def work(n: int) -> None:
+        sys.path.insert(0, str(REPO))
+        from fluvio_jolt_spark.jolt.transform import transform_json
+        from fluvio_jolt_spark.operators.reshape import reference_bench_spec
+
+        spec = reference_bench_spec()
+        rec = (
+            '{"_id":"x","isActive":true,"balance":"$1.00","age":32,"eyeColor":"g",'
+            '"name":"A B","gender":"m","company":"C","email":"e@x","phone":"1",'
+            '"friends":[{"id":0,"name":"N"}],"favoriteFruit":"k"}'
+        )
+        for _ in range(n):
+            transform_json(rec, spec)
+
+    res = {}
+    per_proc = 150_000
+    for procs in cores_list:
+        ps = [mp.Process(target=work, args=(per_proc,)) for _ in range(procs)]
+        t0 = time.perf_counter()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        dt = time.perf_counter() - t0
+        res[procs] = round(procs * per_proc / dt, 1)
+    out = {f"procs_{k}_recs_per_sec": v for k, v in res.items()}
+    ks = sorted(res)
+    for lo, hi in zip(ks, ks[1:]):
+        out[f"ceiling_eff_{lo}_to_{hi}"] = round(res[hi] / ((hi / lo) * res[lo]), 3)
     return out
 
 
 def _one_scaling_run(cores: int, n_turns: int) -> float:
+    import shutil
+
+    scratch = "/dev/shm/fjs-scale" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    os.makedirs(scratch, exist_ok=True)
     code = f"""
-import sys, time, tempfile
+import sys, time, shutil
 sys.path.insert(0, {str(REPO)!r})
 from fluvio_jolt_spark.plans.session import build_session
 import bench
 spark = build_session(app_name="fjs-scale", master="local[{cores}]",
-                      shuffle_partitions={cores})
-with tempfile.TemporaryDirectory() as tmp:
-    bench.run_flagship(spark, max({n_turns} // 10, 1000), tmp + "/warm")
-    t0 = time.perf_counter()
-    bench.run_flagship(spark, {n_turns}, tmp + "/out")
-    print("ELAPSED", time.perf_counter() - t0)
+                      shuffle_partitions={cores},
+                      extra_conf={{"spark.local.dir": {scratch!r} + "/local"}})
+bench.run_flagship(spark, max({n_turns} // 10, 1000), {scratch!r} + "/warm")
+shutil.rmtree({scratch!r} + "/warm", ignore_errors=True)
+t0 = time.perf_counter()
+bench.run_flagship(spark, {n_turns}, {scratch!r} + "/out")
+print("ELAPSED", time.perf_counter() - t0)
+shutil.rmtree({scratch!r} + "/out", ignore_errors=True)
 spark.stop()
 """
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=str(REPO)
-    )
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
+    try:
+        shutil.rmtree(scratch + "/local", ignore_errors=True)
+    except OSError:
+        pass
     for line in proc.stdout.splitlines():
         if line.startswith("ELAPSED"):
             return float(line.split()[1])

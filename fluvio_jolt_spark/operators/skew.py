@@ -44,29 +44,33 @@ def with_turn_features_salted(
 ) -> DataFrame:
     overlap = max(rolling_k - 1, 1)
 
-    base = df.withColumn(_CHUNK, (F.col("turn_idx") / chunk_rows).cast("long")).withColumn(
-        _CARRY, F.lit(0)
-    )
+    # One-pass row duplication: each row emits its home (chunk, carry=0)
+    # entry, plus a carry-in copy into the next chunk when it sits in the
+    # chunk tail, plus (for leads) a carry-back copy into the previous
+    # chunk when it is a chunk head. explode(array_compact(...)) keeps
+    # this a single scan instead of a 3-branch union of 3 scans.
+    chunk = (F.col("turn_idx") / chunk_rows).cast("long")
     pos = F.col("turn_idx") % chunk_rows
-
-    # tail of each chunk → carry-in context rows for the next chunk
-    carry_fwd = (
-        base.filter(pos >= chunk_rows - overlap)
-        .withColumn(_CHUNK, F.col(_CHUNK) + 1)
-        .withColumn(_CARRY, F.lit(1))
-    )
-    parts = [base, carry_fwd]
+    entries = [
+        F.struct(chunk.alias("chunk"), F.lit(0).alias("carry")),
+        F.when(
+            pos >= chunk_rows - overlap,
+            F.struct((chunk + 1).alias("chunk"), F.lit(1).alias("carry")),
+        ),
+    ]
     if include_leads:
-        # head of each chunk (except chunk 0) → carry-back context rows
-        carry_back = (
-            base.filter((pos < 1) & (F.col(_CHUNK) > 0))
-            .withColumn(_CHUNK, F.col(_CHUNK) - 1)
-            .withColumn(_CARRY, F.lit(1))
+        entries.append(
+            F.when(
+                (pos < 1) & (chunk > 0),
+                F.struct((chunk - 1).alias("chunk"), F.lit(1).alias("carry")),
+            )
         )
-        parts.append(carry_back)
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    u = (
+        df.withColumn("_e", F.explode(F.array_compact(F.array(*entries))))
+        .withColumn(_CHUNK, F.col("_e.chunk"))
+        .withColumn(_CARRY, F.col("_e.carry"))
+        .drop("_e")
+    )
 
     w = Window.partitionBy("conv_id", _CHUNK).orderBy("turn_idx", "ts")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -148,7 +152,10 @@ def with_turn_features_salted(
         F.last("_sess_start_last", ignorenulls=True).over(woff).alias("_sess_start_off"),
     )
 
-    joined = out.filter(real).join(offsets, ["conv_id", _CHUNK])
+    # offsets has one row per (conv_id, chunk) — orders of magnitude
+    # smaller than the data but unbounded at 10^12 turns, so shuffled
+    # hash (build the small side) rather than broadcast or sort-merge
+    joined = out.filter(real).join(offsets.hint("SHUFFLE_HASH"), ["conv_id", _CHUNK])
 
     result = (
         joined.withColumn("tool_calls_cum", F.col("_tool_cum_w") + F.col("_tool_off"))

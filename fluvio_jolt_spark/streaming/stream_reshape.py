@@ -68,6 +68,36 @@ def stream_session_agg(
     )
 
 
+def stream_running_tool_counts(
+    stream_df: DataFrame, timeout: str = "NoTimeout"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per
+    conversation, a running tool-call count and turn count carried in
+    state across micro-batches (the streaming analogue of the batch
+    cumulative features — exact regardless of batch boundaries, state
+    O(1) per conversation)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = "conv_id string, turns_seen long, tool_calls_seen long"
+    state_schema = "turns_seen long, tool_calls_seen long"
+
+    def update(key, pdfs, state: GroupState):
+        turns, tools = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            turns += len(pdf)
+            tools += int(((pdf["tool"].notna()) & (pdf["tool"] != "")).sum())
+        state.update((turns, tools))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "turns_seen": [turns], "tool_calls_seen": [tools]}
+        )
+
+    return (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(update, output_schema, state_schema, "update", timeout)
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query synchronously to completion over the
     currently-available input (test/demo harness)."""

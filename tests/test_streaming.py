@@ -12,6 +12,7 @@ from fluvio_jolt_spark.streaming.stream_reshape import (
     read_transcript_stream,
     run_stream_to_memory,
     stream_reshape,
+    stream_running_tool_counts,
     stream_session_agg,
 )
 
@@ -46,6 +47,41 @@ def test_stream_reshape_matches_batch(spark, stream_dir):
     assert len(got) == len(batch) > 0
     assert (got.text_reshaped == batch.text_reshaped).all()
     assert got.text_error.isna().all()
+
+
+def test_stateful_running_counts(spark, stream_dir):
+    """applyInPandasWithState: final per-conversation state must equal
+    the batch ground truth even though input arrives in micro-batches."""
+    stream = stream_running_tool_counts(
+        read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    )
+    run_stream_to_memory(stream, "state_out", output_mode="update")
+    got = (
+        spark.sql(
+            "SELECT conv_id, max(turns_seen) turns_seen,"
+            " max(tool_calls_seen) tool_calls_seen FROM state_out GROUP BY conv_id"
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    from pyspark.sql import functions as F
+
+    want = (
+        spark.read.parquet(stream_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("turns_seen"),
+            F.sum(
+                (F.col("tool").isNotNull() & (F.col("tool") != "")).cast("long")
+            ).alias("tool_calls_seen"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert (got.turns_seen == want.turns_seen).all()
+    assert (got.tool_calls_seen == want.tool_calls_seen).all()
 
 
 def test_stream_session_agg(spark, stream_dir):

@@ -125,17 +125,34 @@ def with_turn_features_salted(
     out = out.withColumn("_sess_start_w", F.last(sess_start_src, ignorenulls=True).over(wcum))
 
     # ---- chunk summaries → cross-chunk offsets (tiny second pass) ----
+    # Derived from the chunked rows with only the lag window (not from
+    # `out`): a summaries branch hanging off the full feature chain would
+    # recompute all six window functions a second time (verified in the
+    # physical plan); this branch needs lag(ts) + a sort-aggregate only.
+    s_lag = F.lag("ts").over(w)
+    s_gap = F.col("ts").cast("double") - s_lag.cast("double")
+    s_brk = F.when(s_gap > F.lit(float(session_gap_s)), 1).otherwise(0)
+    s_tool_name = F.when(is_tool == 1, F.get_json_object("tool", "$.name"))
     summaries = (
-        out.groupBy("conv_id", _CHUNK)
+        u.select(
+            "conv_id",
+            _CHUNK,
+            "turn_idx",
+            (F.when(real, is_tool).otherwise(0)).alias("_c_tool"),
+            (F.when(real, s_brk).otherwise(0)).alias("_c_brk"),
+            s_tool_name.alias("_t_name"),
+            F.when(
+                real & ((F.col("turn_idx") == 0) | (s_brk == 1)), F.col("turn_idx")
+            ).alias("_s_start"),
+        )
+        .groupBy("conv_id", _CHUNK)
         .agg(
-            F.sum(contrib_tool).alias("_tool_tot"),
-            F.sum(contrib_brk).alias("_brk_tot"),
-            F.max_by("_tool_name_w", F.when(F.col("_tool_name_w").isNotNull(), F.col("turn_idx"))).alias(
-                "_tool_name_last"
-            ),
-            F.max(F.when(sess_start_src.isNotNull(), F.col("turn_idx"))).alias(
-                "_sess_start_last"
-            ),
+            F.sum("_c_tool").alias("_tool_tot"),
+            F.sum("_c_brk").alias("_brk_tot"),
+            F.max_by(
+                "_t_name", F.when(F.col("_t_name").isNotNull(), F.col("turn_idx"))
+            ).alias("_tool_name_last"),
+            F.max("_s_start").alias("_sess_start_last"),
         )
     )
     woff = (

@@ -212,6 +212,25 @@ def _q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "signup_value")
 
 
+def _q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof chunked as-of join, checked against the same DuckDB
+    ASOF JOIN oracle as the plain variant."""
+    from fluvio_jolt_spark.operators.asof import asof_join_salted
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("signup_value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    left = ev.select(
+        "event_id", "user_id", "ts", (F.row_number().over(w) - 1).alias("turn_idx")
+    )
+    out = asof_join_salted(
+        left, signups, on="ts", right_on="snap_ts", by="user_id", chunk_rows=64
+    )
+    return out.select("event_id", "user_id", "signup_value")
+
+
 def _q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-proof chunked sessionizer over events (entity=user_id),
     checked against the plain SQL sessionization oracle — proves the
@@ -459,6 +478,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "backfill_last_value": _q_backfill,
     "asof_join_signup": _q_asof_join,
     "asof_join_signup_pandas": _q_asof_join_pandas,
+    "asof_join_salted": _q_asof_join_salted,
     "sessionize_salted": _q_sessionize_salted,
     "lead_features": _q_lead_features,
     "tpch_q1": _q_tpch_q1,
@@ -567,6 +587,14 @@ def oracle_sql() -> dict[str, str]:
           ) s ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
         "asof_join_signup_pandas": """
+          SELECT e.event_id, e.user_id, s.signup_value
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "asof_join_salted": """
           SELECT e.event_id, e.user_id, s.signup_value
           FROM events e
           ASOF LEFT JOIN (

@@ -53,7 +53,7 @@ def run_flagship(spark, n_turns: int, out_dir: str) -> int:
     """
     from pyspark.sql import functions as F
 
-    from fluvio_jolt_spark.operators.asof import asof_join
+    from fluvio_jolt_spark.operators.asof import asof_join_salted
     from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
     from fluvio_jolt_spark.operators.skew import with_turn_features_salted
     from fluvio_jolt_spark.sources.transcripts import read_transcripts
@@ -62,7 +62,9 @@ def run_flagship(spark, n_turns: int, out_dir: str) -> int:
 
     narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
     feats = with_turn_features_salted(narrow, chunk_rows=8192)
-    feats = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
+    feats = asof_join_salted(
+        feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=8192
+    )
 
     payload = jolt_reshape(
         turns.select("conv_id", "turn_idx", "text"),

@@ -1,6 +1,6 @@
 from .reshape import jolt_reshape, reference_bench_spec  # noqa: F401
 from .window_features import backfill, with_turn_features  # noqa: F401
-from .asof import asof_join, asof_join_pandas  # noqa: F401
+from .asof import asof_join, asof_join_pandas, asof_join_salted  # noqa: F401
 from .skew import diagnose_conversation_skew, with_turn_features_salted  # noqa: F401
 from .dedup import (  # noqa: F401
     exact_dedup,

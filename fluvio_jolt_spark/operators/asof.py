@@ -69,6 +69,137 @@ def asof_join(
     return unioned.filter(F.col("_prio") == left_prio).drop("_evt_ts", "_prio")
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    right_on: str = "snap_ts",
+    by: str = "conv_id",
+    value_cols: list[str] | None = None,
+    order_col: str = "turn_idx",
+    chunk_rows: int = 8192,
+    strict: bool = False,
+) -> DataFrame:
+    """Skew-proof as-of join: identical output to ``asof_join`` while
+    bounding every window partition to ``chunk_rows`` left rows — a
+    mega-entity no longer pins one task (the same carry-in decomposition
+    as skew.with_turn_features_salted, applied to last-known-value).
+
+    Plan: (1) chunk left rows on ``order_col``; (2) compute per-chunk
+    time ranges (a per-(by,chunk) aggregate — rows ≈ n/chunk_rows);
+    (3) assign each right row to the chunk whose range contains its
+    timestamp via a small union-window over ranges+rights only;
+    (4) per (by, chunk) union-window fill as usual; (5) rows whose fill
+    is still null take the carry-in: the running last right value over
+    PRECEDING chunk summaries. Requires ``order_col`` order to agree
+    with ``on`` order within each entity (true for turn_idx vs ts).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in by_cols + [right_on]]
+
+    chunk = (F.col(order_col) / chunk_rows).cast("long").alias("_chunk")
+    l_chunked = left.withColumn("_chunk", chunk)
+
+    # (2) per-chunk max event time — the small table (1 row per chunk)
+    ranges = l_chunked.groupBy(*by_cols, "_chunk").agg(F.max(on).alias("_chunk_max"))
+
+    # (3) assign right rows to chunks: a right row with ts t belongs in
+    # the FIRST chunk whose max >= t (it can then forward-fill within
+    # that chunk and carry into later ones via summaries). Union trick
+    # over (ranges ∪ rights): next-chunk-id = min future _chunk.
+    r_tag = right.select(
+        *by_cols,
+        F.col(right_on).alias("_t"),
+        F.lit(None).cast("long").alias("_chunk"),
+        F.lit(1).alias("_is_right"),
+        *[F.col(c) for c in value_cols],
+    )
+    g_tag = ranges.select(
+        *by_cols,
+        F.col("_chunk_max").alias("_t"),
+        F.col("_chunk"),
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    # order: ranges first at equal time (is_right asc in the DESC scan)
+    # so a snapshot exactly at the chunk max still lands in that chunk
+    # (<= semantics downstream)
+    w_assign = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col("_t").desc(), F.col("_is_right").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned_rights = (
+        r_tag.unionByName(g_tag)
+        .withColumn("_chunk", F.min("_chunk").over(w_assign))
+        .filter((F.col("_is_right") == 1) & F.col("_chunk").isNotNull())
+        .select(*by_cols, "_chunk", F.col("_t").alias(right_on), *value_cols)
+    )
+    # rights after the last turn (no containing chunk) are dropped — they
+    # can never join (zero-leakage); rights are never dropped otherwise.
+
+    # (4) within-chunk union-window fill (bounded partitions)
+    right_prio = 0 if not strict else 2
+    left_prio = 1
+    l_tag = l_chunked.withColumn("_evt_ts", F.col(on)).withColumn("_prio", F.lit(left_prio))
+    for c in value_cols:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rr = assigned_rights.withColumn("_evt_ts", F.col(right_on)).withColumn(
+        "_prio", F.lit(right_prio)
+    )
+    for c in left.columns:
+        if c not in rr.columns:
+            rr = rr.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = by_cols + ["_chunk", "_evt_ts", "_prio"] + [
+        c for c in left.columns if c not in by_cols
+    ] + value_cols
+    unioned = l_tag.select(*cols).unionByName(rr.select(*cols))
+    w_fill = (
+        Window.partitionBy(*by_cols, "_chunk")
+        .orderBy("_evt_ts", "_prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in value_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w_fill))
+    filled = filled.filter(F.col("_prio") == left_prio)
+
+    # (5) carry-in: last right value over preceding chunks' summaries.
+    # Per-chunk summary = latest NON-NULL value by time (mirrors the
+    # unsalted last(ignorenulls): a null right value never overwrites).
+    summaries = assigned_rights.groupBy(*by_cols, "_chunk").agg(
+        *[
+            F.max_by(c, F.when(F.col(c).isNotNull(), F.col(right_on))).alias(c)
+            for c in value_cols
+        ]
+    )
+    w_off = (
+        Window.partitionBy(*by_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # every left chunk needs an offsets row (chunks with no rights too):
+    # build the full chunk list from ranges, left-join summaries
+    all_chunks = ranges.select(*by_cols, "_chunk")
+    offsets_full = (
+        all_chunks.join(summaries, by_cols + ["_chunk"], "left")
+        .select(
+            *by_cols,
+            "_chunk",
+            *[
+                F.last(c, ignorenulls=True).over(w_off).alias(c + "_off")
+                for c in value_cols
+            ],
+        )
+    )
+
+    out = filled.join(offsets_full.hint("SHUFFLE_HASH"), by_cols + ["_chunk"], "left")
+    for c in value_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(c + "_off")))
+    return out.drop("_chunk", "_evt_ts", "_prio", *[c + "_off" for c in value_cols])
+
+
 def asof_join_pandas(
     left: DataFrame,
     right: DataFrame,

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from fluvio_jolt_spark.operators.asof import asof_join, asof_join_pandas
+from fluvio_jolt_spark.operators.asof import asof_join, asof_join_pandas, asof_join_salted
 
 
 @pytest.fixture(scope="module")
@@ -108,6 +108,64 @@ def test_asof_pandas_variant_agrees(spark, transcripts_small):
     assert len(a) == len(b)
     aa, bb = a["attr_value"].astype(float), b["attr_value"].astype(float)
     assert ((aa.isna() & bb.isna()) | (abs(aa - bb) < 1e-9)).all()
+
+
+@pytest.mark.parametrize("chunk_rows", [7, 64])
+def test_asof_salted_equals_unsalted(spark, transcripts_small, chunk_rows):
+    """Chunked as-of join must be value-identical to the plain window
+    variant at aggressive chunk sizes (every conversation splits)."""
+    left, right = transcripts_small
+    a = asof_join(left, right).toPandas()
+    b = asof_join_salted(left, right, chunk_rows=chunk_rows).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    av, bv = a["attr_value"].astype(float), b["attr_value"].astype(float)
+    bad = ~((av.isna() & bv.isna()) | (abs(av - bv) < 1e-9))
+    assert not bad.any(), a[bad].head().to_string() + "\n---\n" + b[bad].head().to_string()
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_salted_tie_semantics(spark, strict):
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 00:30"]
+            ),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "snap_ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:25"]),
+            "attr_value": [1.5, 7.5],
+        }
+    )
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    want = asof_join(left, right, strict=strict).orderBy("turn_idx").toPandas()["attr_value"]
+    got = (
+        asof_join_salted(left, right, chunk_rows=2, strict=strict)
+        .orderBy("turn_idx")
+        .toPandas()["attr_value"]
+    )
+    assert ((want.isna() & got.isna()) | (want == got)).all(), (want.tolist(), got.tolist())
+
+
+def test_asof_salted_bounds_partitions(spark, transcripts_small):
+    """No window partition in the salted variant may exceed chunk_rows
+    left rows + the rights assigned to that chunk."""
+    left, right = transcripts_small
+    from pyspark.sql import functions as F
+
+    chunk_rows = 64
+    chunked = left.withColumn("_chunk", (F.col("turn_idx") / chunk_rows).cast("long"))
+    biggest = (
+        chunked.groupBy("conv_id", "_chunk").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest <= chunk_rows
 
 
 def test_asof_plan_no_join_single_shuffle(spark, transcripts_small):

@@ -53,18 +53,34 @@ def run_flagship(spark, n_turns: int, out_dir: str) -> int:
     """
     from pyspark.sql import functions as F
 
-    from fluvio_jolt_spark.operators.asof import asof_join_salted
+    from pyspark.sql import functions as _F
+
+    from fluvio_jolt_spark.operators.asof import asof_join, asof_join_salted
     from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
     from fluvio_jolt_spark.operators.skew import with_turn_features_salted
+    from fluvio_jolt_spark.operators.window_features import with_turn_features
     from fluvio_jolt_spark.sources.transcripts import read_transcripts
 
     turns, snaps = read_transcripts(spark, n_turns=n_turns)
-
     narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
-    feats = with_turn_features_salted(narrow, chunk_rows=8192)
-    feats = asof_join_salted(
-        feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=8192
+
+    # Runtime skew adaptivity (both paths are tested value-identical):
+    # one cheap aggregate over the narrow projection decides whether any
+    # conversation would blow a window partition; below the threshold the
+    # plain single-sort pipeline wins (fewer stages), above it the salted
+    # two-pass bounds every partition to chunk_rows.
+    chunk_rows = 8192
+    max_conv = (
+        narrow.groupBy("conv_id").count().agg(_F.max("count")).collect()[0][0] or 0
     )
+    if max_conv > 4 * chunk_rows:
+        feats = with_turn_features_salted(narrow, chunk_rows=chunk_rows)
+        feats = asof_join_salted(
+            feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=chunk_rows
+        )
+    else:
+        feats = with_turn_features(narrow)
+        feats = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
 
     payload = jolt_reshape(
         turns.select("conv_id", "turn_idx", "text"),

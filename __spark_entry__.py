@@ -255,6 +255,70 @@ def _q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_backfill_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward fill: next purchase value at-or-after each event (future-
+    looking by construction — label-side feature, explicitly named)."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("next_purchase_value"),
+    )
+
+
+def _q_range_frame_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: sum of value over the trailing 10 minutes
+    per user (RANGE frame on epoch seconds, not row counts)."""
+    ev = _read(spark, sf_dir, "events")
+    epoch = F.unix_micros("ts") / F.lit(1_000_000.0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("value_10min")
+    )
+
+
+def _q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.count("*").alias("n"),
+    )
+
+
+def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+def _q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only: synthetic media table, binary
+    payload pruned at scan; see operators/multimodal.py)."""
+    from fluvio_jolt_spark.operators.multimodal import sample_video_frames, synth_media
+
+    return sample_video_frames(synth_media(spark, n=48), every_ms=500)
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction via Arrow-batched mapInPandas with
+    the deterministic stub codec (rows-only)."""
+    from fluvio_jolt_spark.operators.multimodal import extract_image_features, synth_media
+
+    return extract_image_features(synth_media(spark, n=48))
+
+
 def _q_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -481,6 +545,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_salted": _q_asof_join_salted,
     "sessionize_salted": _q_sessionize_salted,
     "lead_features": _q_lead_features,
+    "backfill_backward": _q_backfill_backward,
+    "range_frame_10min": _q_range_frame_10min,
+    "median_by_type": _q_median_by_type,
+    "cube_orders": _q_cube_orders,
+    "media_frame_sampling": _q_media_frame_sampling,
+    "image_features": _q_image_features,
     "tpch_q1": _q_tpch_q1,
     "topk_per_group": _q_topk_per_group,
     "broadcast_join_agg": _q_broadcast_join_agg,
@@ -610,6 +680,32 @@ def oracle_sql() -> dict[str, str]:
                  lead(epoch_us(ts)) OVER w - epoch_us(ts) AS lead_gap_us
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "backfill_backward": """
+          SELECT event_id, user_id,
+                 last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS next_purchase_value
+          FROM events
+        """,
+        "range_frame_10min": """
+          SELECT event_id, user_id,
+                 round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts) / 1000000.0
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS value_10min
+          FROM events
+        """,
+        "median_by_type": """
+          SELECT event_type,
+                 round(quantile_cont(value, 0.5), 4) AS median_value,
+                 round(avg(value), 4) AS mean_value,
+                 count(*) AS n
+          FROM events GROUP BY event_type
+        """,
+        "cube_orders": """
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "tpch_q1": """
           SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,80 @@
+"""Source abstraction: parquet today, Iceberg-ready interface.
+
+The engine reads "tables" through TableSource so the physical format is
+swappable: the sandbox has no Iceberg jars, so IcebergSource raises a
+clear error at construction unless the catalog extension is on the
+classpath, while ParquetSource covers local/test runs with identical
+semantics (columnar scan, predicate pushdown, partition pruning).
+
+At cluster scale, switch by config:
+  spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+  spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableSource:
+    """Minimal reader interface: name → DataFrame."""
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        raise NotImplementedError
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        raise NotImplementedError
+
+
+class ParquetSource(TableSource):
+    def __init__(self, root: str):
+        self.root = str(root)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(f"{self.root}/{name}.parquet")
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(f"{self.root}/{name}.parquet")
+
+
+class IcebergSource(TableSource):
+    """Iceberg catalog tables (`catalog.db.table`). Constructing this
+    without the Iceberg runtime on the classpath raises immediately with
+    a actionable message rather than failing mid-job."""
+
+    def __init__(self, spark: SparkSession, catalog: str = "spark_catalog", db: str = "default"):
+        self.catalog = catalog
+        self.db = db
+        jvm_ok = True
+        try:
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception:
+            jvm_ok = False
+        if not jvm_ok:
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath; add "
+                "iceberg-spark-runtime and the catalog confs, or use ParquetSource"
+            )
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.table(f"{self.catalog}.{self.db}.{name}")
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        df.writeTo(f"{self.catalog}.{self.db}.{name}").createOrReplace()
+
+
+def open_source(spark: SparkSession, uri: str) -> TableSource:
+    """'parquet:/path' | 'iceberg:catalog.db' → TableSource."""
+    scheme, _, rest = uri.partition(":")
+    if scheme == "parquet":
+        return ParquetSource(rest)
+    if scheme == "iceberg":
+        catalog, _, db = rest.partition(".")
+        return IcebergSource(spark, catalog or "spark_catalog", db or "default")
+    if Path(uri).exists():
+        return ParquetSource(uri)
+    raise ValueError(f"unknown source uri {uri!r}")

@@ -82,6 +82,30 @@ def test_reshape_invalid_spec_fails_on_driver(spark):
         jolt_reshape(df, json.dumps([{"operation": "sort", "spec": {}}]))
 
 
+def test_all_golden_fixtures_through_spark_stage(spark):
+    """Every reference golden fixture replayed through the actual
+    mapInPandas stage (SURVEY §5 test plan item (b)); tree equality like
+    the reference's own assertion. One Spark job per distinct spec."""
+    from jolt_fixtures import iter_fixtures, reference_available
+
+    if not reference_available():
+        pytest.skip("reference fixture corpus not present")
+
+    fixtures = list(iter_fixtures())
+    assert len(fixtures) == 66
+    failures = []
+    for f in fixtures:
+        df = spark.createDataFrame([(json.dumps(f.input),)], "text string")
+        row = jolt_reshape(df, json.dumps(f.spec)).collect()[0]
+        if row.text_error is not None:
+            failures.append((f.suite, f.name, row.text_error))
+            continue
+        got = json.loads(row.text_reshaped) if row.text_reshaped is not None else None
+        if got != f.expected:
+            failures.append((f.suite, f.name, got))
+    assert not failures, failures[:3]
+
+
 def test_reshape_is_narrow_no_shuffle(spark, transcripts_small):
     """The reshape stage must not introduce an exchange."""
     df, _ = transcripts_small

@@ -1,0 +1,70 @@
+"""Source abstraction + expression-layer smoke tests."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvio_jolt_spark.functions import (
+    content_hash,
+    epoch_us_col,
+    is_tool_call_col,
+    session_break_col,
+)
+from fluvio_jolt_spark.sources.tables import IcebergSource, ParquetSource, open_source
+
+
+def test_parquet_source_roundtrip(spark, tmp_path):
+    src = ParquetSource(str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    src.write(df, "t1")
+    got = src.read(spark, "t1").collect()
+    assert got == df.collect()
+
+
+def test_open_source_parquet(spark):
+    src = open_source(spark, "parquet:/root/testdata/sf0.001")
+    assert src.read(spark, "region").count() > 0
+
+
+def test_iceberg_source_fails_clearly(spark):
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        IcebergSource(spark)
+
+
+def test_expression_layer(spark):
+    df = spark.createDataFrame(
+        [("c", "2024-01-01 00:00:00", "2024-01-01 01:00:00", '{"name":"t"}')],
+        "conv_id string, prev string, now string, tool string",
+    ).select(
+        F.col("conv_id"),
+        F.col("prev").cast("timestamp").alias("prev_ts"),
+        F.col("now").cast("timestamp").alias("ts"),
+        F.col("tool"),
+    )
+    row = df.select(
+        session_break_col("ts", "prev_ts", 1800).alias("brk"),
+        is_tool_call_col().alias("tool_call"),
+        epoch_us_col().alias("us"),
+        content_hash(F.col("conv_id")).alias("h"),
+    ).collect()[0]
+    assert row.brk == 1 and row.tool_call == 1
+    assert isinstance(row.us, int) and isinstance(row.h, int)
+
+
+def test_package_zip(tmp_path):
+    out = tmp_path / "pkg.zip"
+    res = subprocess.run(
+        [sys.executable, "fluvio_jolt_spark/jobs/package.py", str(out)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr
+    names = zipfile.ZipFile(out).namelist()
+    assert "fluvio_jolt_spark/__init__.py" in names
+    assert any(n.startswith("fluvio_jolt_spark/jolt/") for n in names)

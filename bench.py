@@ -53,45 +53,10 @@ def run_flagship(spark, n_turns: int, out_dir: str) -> int:
     """
     from pyspark.sql import functions as F
 
-    from pyspark.sql import functions as _F
-
-    from fluvio_jolt_spark.operators.asof import asof_join, asof_join_salted
-    from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
-    from fluvio_jolt_spark.operators.skew import with_turn_features_salted
-    from fluvio_jolt_spark.operators.window_features import with_turn_features
     from fluvio_jolt_spark.sources.transcripts import read_transcripts
 
     turns, snaps = read_transcripts(spark, n_turns=n_turns)
-    narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
-
-    # Runtime skew adaptivity (both paths are tested value-identical):
-    # one cheap aggregate over the narrow projection decides whether any
-    # conversation would blow a window partition; below the threshold the
-    # plain single-sort pipeline wins (fewer stages), above it the salted
-    # two-pass bounds every partition to chunk_rows.
-    chunk_rows = 8192
-    max_conv = (
-        narrow.groupBy("conv_id").count().agg(_F.max("count")).collect()[0][0] or 0
-    )
-    if max_conv > 4 * chunk_rows:
-        feats = with_turn_features_salted(narrow, chunk_rows=chunk_rows)
-        feats = asof_join_salted(
-            feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=chunk_rows
-        )
-    else:
-        feats = with_turn_features(narrow)
-        feats = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
-
-    payload = jolt_reshape(
-        turns.select("conv_id", "turn_idx", "text"),
-        reference_bench_spec(),
-        columns="text",
-    )
-
-    # SHUFFLE_HASH: hash-join on the narrow feature side instead of
-    # sort-merge — skips sorting the KB-sized payload rows entirely
-    out = payload.join(feats.hint("SHUFFLE_HASH"), ["conv_id", "turn_idx"])
-    out.write.mode("overwrite").parquet(out_dir)
+    run_flagship_frames(spark, turns, snaps, out_dir)
     return n_turns
 
 
@@ -179,6 +144,138 @@ def scaling_runs(n_turns: int, pairs=((2, 8), (8, 32)), rounds: int = 3) -> dict
         out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
     out["platform_ceiling"] = _platform_ceiling(cores_needed)
     return out
+
+
+def scaling_runs_multijvm(n_turns: int, rounds: int = 3, exec_cores: int = 8) -> dict:
+    """The faithful N→4N *executor* proxy: 1 vs 4 concurrent executor
+    JVMs, each pinned to a disjoint cpuset, each owning a disjoint
+    hash(conv_id) shard of the input — exactly how a cluster splits work
+    across executors (own heap, own GC, own Python workers; the only
+    still-shared resource is this box's memory bus).
+
+    1-executor run: one local[exec_cores] JVM processes all 4 shards.
+    4-executor run: four JVMs, shard k on cpuset k, wall = max(runs).
+    efficiency = throughput_4 / (4 × throughput_1).
+    """
+    import statistics
+
+    shard_root = _materialize_shards(n_turns, n_shards=4)
+
+    t1: list[float] = []
+    t4: list[float] = []
+    for _ in range(rounds):
+        t1.append(_multijvm_round(shard_root, [list(range(4))], exec_cores)[0])
+        t4.append(max(_multijvm_round(shard_root, [[k] for k in range(4)], exec_cores)))
+
+    med1, med4 = statistics.median(t1), statistics.median(t4)
+    thr1, thr4 = n_turns / med1, n_turns / med4
+    return {
+        "executors_1": {"runs_sec": [round(x, 1) for x in sorted(t1)],
+                        "median_sec": round(med1, 1), "turns_per_sec": round(thr1, 1)},
+        "executors_4": {"runs_sec": [round(x, 1) for x in sorted(t4)],
+                        "median_sec": round(med4, 1), "turns_per_sec": round(thr4, 1)},
+        "scaling_efficiency_1_to_4_executors": round(thr4 / (4 * thr1), 3),
+        "exec_cores": exec_cores,
+        "n_turns": n_turns,
+    }
+
+
+def _materialize_shards(n_turns: int, n_shards: int) -> str:
+    """Split the transcript table (and snapshots) into conv_id-hash
+    shards once, cached — executors read only their own shard."""
+    from fluvio_jolt_spark.sources.transcripts import default_cache_dir, materialize
+
+    root = default_cache_dir() / f"shards_n{n_turns}_k{n_shards}"
+    done = root / "_DONE"
+    if not done.exists():
+        from fluvio_jolt_spark.plans.session import build_session
+
+        tpath, spath = materialize(n_turns)
+        spark = build_session(app_name="fjs-shard", master="local[8]", shuffle_partitions=8)
+        from pyspark.sql import functions as F
+
+        for src, name in ((tpath, "turns"), (spath, "snaps")):
+            df = spark.read.parquet(str(src)).withColumn(
+                "_shard", F.pmod(F.xxhash64("conv_id"), F.lit(n_shards))
+            )
+            df.write.mode("overwrite").partitionBy("_shard").parquet(str(root / name))
+        spark.stop()
+        done.touch()
+    return str(root)
+
+
+def _multijvm_round(shard_root: str, groups: list[list[int]], exec_cores: int) -> list[float]:
+    """Launch one JVM per group (concurrently), each processing the
+    given shard ids; returns elapsed seconds per JVM."""
+    import shutil
+
+    procs = []
+    for i, shards in enumerate(groups):
+        cpus = f"{i * exec_cores}-{(i + 1) * exec_cores - 1}"
+        sel = ",".join(str(s) for s in shards)
+        code = f"""
+import sys, time, shutil
+sys.path.insert(0, {str(REPO)!r})
+from fluvio_jolt_spark.plans.session import build_session
+from pyspark.sql import functions as F
+import bench
+spark = build_session(app_name="fjs-exec{i}", master="local[{exec_cores}]",
+                      shuffle_partitions={exec_cores},
+                      extra_conf={{"spark.local.dir": "/dev/shm/fjs-mj/local{i}"}})
+turns = spark.read.parquet({shard_root!r} + "/turns").where("_shard in ({sel})").drop("_shard")
+snaps = spark.read.parquet({shard_root!r} + "/snaps").where("_shard in ({sel})").drop("_shard")
+# warm-up on a slice
+bench.run_flagship_frames(spark, turns.limit(50_000), snaps, "/dev/shm/fjs-mj/warm{i}")
+shutil.rmtree("/dev/shm/fjs-mj/warm{i}", ignore_errors=True)
+t0 = time.perf_counter()
+bench.run_flagship_frames(spark, turns, snaps, "/dev/shm/fjs-mj/out{i}")
+print("ELAPSED", time.perf_counter() - t0)
+shutil.rmtree("/dev/shm/fjs-mj/out{i}", ignore_errors=True)
+spark.stop()
+"""
+        cmd = ["taskset", "-c", cpus, sys.executable, "-c", code]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                                      text=True, cwd=str(REPO)))
+    times = []
+    for p in procs:
+        out, err = p.communicate()
+        got = None
+        for line in out.splitlines():
+            if line.startswith("ELAPSED"):
+                got = float(line.split()[1])
+        if got is None:
+            raise RuntimeError(f"executor failed:\n{out}\n{err[-1500:]}")
+        times.append(got)
+    shutil.rmtree("/dev/shm/fjs-mj", ignore_errors=True)
+    return times
+
+
+def run_flagship_frames(spark, turns, snaps, out_dir: str) -> None:
+    """run_flagship body over pre-loaded DataFrames (shared by the
+    single-process and multi-JVM benches)."""
+    from pyspark.sql import functions as _F
+
+    from fluvio_jolt_spark.operators.asof import asof_join, asof_join_salted
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
+    from fluvio_jolt_spark.operators.skew import with_turn_features_salted
+    from fluvio_jolt_spark.operators.window_features import with_turn_features
+
+    narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
+    chunk_rows = 8192
+    max_conv = narrow.groupBy("conv_id").count().agg(_F.max("count")).collect()[0][0] or 0
+    if max_conv > 4 * chunk_rows:
+        feats = with_turn_features_salted(narrow, chunk_rows=chunk_rows)
+        feats = asof_join_salted(
+            feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=chunk_rows
+        )
+    else:
+        feats = with_turn_features(narrow)
+        feats = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
+    payload = jolt_reshape(
+        turns.select("conv_id", "turn_idx", "text"), reference_bench_spec(), columns="text"
+    )
+    out = payload.join(feats.hint("SHUFFLE_HASH"), ["conv_id", "turn_idx"])
+    out.write.mode("overwrite").parquet(out_dir)
 
 
 def _platform_ceiling(cores_list) -> dict:

@@ -32,12 +32,17 @@ class Stars:
 
 
 class Rhs:
-    """A right-hand-side path expression: an ordered list of parts."""
+    """A right-hand-side path expression: an ordered list of parts.
 
-    __slots__ = ("parts",)
+    ``writer`` is an optional compiled write closure (attached by the
+    spec compiler for hot paths); equality ignores it.
+    """
+
+    __slots__ = ("parts", "writer")
 
     def __init__(self, parts: list["RhsPart"]):
         self.parts = parts
+        self.writer = None
 
     def __eq__(self, other):
         return isinstance(other, Rhs) and self.parts == other.parts

@@ -84,11 +84,19 @@ class JoltObject:
 REntry = Union[JoltObject, list, Thrash]
 
 
+def _parse_write_rhs(s: str) -> Rhs:
+    rhs = parse_rhs(s)
+    from .shift import compile_rhs_writer
+
+    rhs.writer = compile_rhs_writer(rhs)
+    return rhs
+
+
 def _compile_rhs_list(value: Any, context: str) -> list[Rhs]:
     """Value of an infallible key: string, or arbitrarily nested lists of
     strings (flattened) — mirrors RhssVisitor (deserialize.rs:67-102)."""
     if isinstance(value, str):
-        return [parse_rhs(value)]
+        return [_parse_write_rhs(value)]
     if isinstance(value, list):
         out: list[Rhs] = []
         for item in value:
@@ -106,7 +114,7 @@ def _compile_rentry(value: Any) -> REntry:
     if value is None:
         return THRASH
     if isinstance(value, str):
-        return [parse_rhs(value)]
+        return [_parse_write_rhs(value)]
     if isinstance(value, list):
         out = []
         for item in value:
@@ -114,7 +122,7 @@ def _compile_rentry(value: Any) -> REntry:
                 raise SpecError(
                     f"invalid rhs array element: expected string, got {type(item).__name__}"
                 )
-            out.append(parse_rhs(item))
+            out.append(_parse_write_rhs(item))
         return out
     if isinstance(value, dict):
         return compile_shift_object(value)

@@ -86,7 +86,7 @@ def _apply(obj: JoltObject, path: list[Frame], out_box: list[Any]) -> None:
         path.append(tip)
         try:
             for rhs in rhs_list:
-                _insert_val_to_rhs(rhs, _clone(v), path, out_box)
+                write_rhs(rhs, _clone(v), path, out_box)
         finally:
             path.pop()
 
@@ -161,7 +161,7 @@ def _apply_match(v: Any, rentry, path: list[Frame], out_box: list[Any]) -> None:
         return
     else:  # list[Rhs]
         for rhs in rentry:
-            _insert_val_to_rhs(rhs, _clone(v), path, out_box)
+            write_rhs(rhs, _clone(v), path, out_box)
 
 
 def _clone(v: Any) -> Any:
@@ -324,6 +324,94 @@ def _insert_val_to_rhs(rhs: Rhs, v: Any, path: list[Frame], out_box: list[Any]) 
         cur.append(v)
     else:
         cont[slot] = [cur, v]
+
+
+# ---- compiled write closures (performance only — semantics identical) ----
+
+
+def compile_rhs_writer(rhs: Rhs):
+    """Compile a write-side Rhs into a closure ``writer(v, path, out_box)``
+    equivalent to ``_insert_val_to_rhs`` but with all per-part type
+    dispatch resolved at spec-compile time. Index ops fall back to the
+    generic interpreter (rare in hot specs). The 66-fixture golden gate
+    plus dedicated unit tests pin equivalence."""
+    steps = []
+    for part in rhs.parts:
+        if isinstance(part, KeyPart):
+            e = part.entry
+            if isinstance(e, KeyEntry):
+                steps.append(("s", e.key))
+            elif isinstance(e, AmpEntry):
+                steps.append(("a", (e.path_idx, e.match_idx)))
+            else:
+                steps.append(("e", e))
+        elif isinstance(part, CompositeKeyPart):
+            steps.append(("c", part.entries))
+        else:  # IndexPart → generic fallback
+            return None
+
+    if all(kind == "s" for kind, _ in steps):
+        keys = tuple(arg for _, arg in steps)
+
+        def static_writer(v, path, out_box, _keys=keys):
+            cont, slot = out_box, 0
+            for key in _keys:
+                cur = cont[slot]
+                if type(cur) is dict:
+                    target = cur
+                else:
+                    target = {}
+                    cont[slot] = target
+                if key not in target:
+                    target[key] = None
+                cont, slot = target, key
+            cur = cont[slot]
+            if cur is None:
+                cont[slot] = v
+            elif type(cur) is list:
+                cur.append(v)
+            else:
+                cont[slot] = [cur, v]
+
+        return static_writer
+
+    def keyed_writer(v, path, out_box, _steps=tuple(steps)):
+        cont, slot = out_box, 0
+        for kind, arg in _steps:
+            if kind == "s":
+                key = arg
+            elif kind == "a":
+                key = _get_match(arg[0], arg[1], path)
+            elif kind == "e":
+                key = _entry_to_str(arg, path)
+            else:  # "c"
+                key = "".join(_entry_to_str(e, path) for e in arg)
+            cur = cont[slot]
+            if type(cur) is dict:
+                target = cur
+            else:
+                target = {}
+                cont[slot] = target
+            if key not in target:
+                target[key] = None
+            cont, slot = target, key
+        cur = cont[slot]
+        if cur is None:
+            cont[slot] = v
+        elif type(cur) is list:
+            cur.append(v)
+        else:
+            cont[slot] = [cur, v]
+
+    return keyed_writer
+
+
+def write_rhs(rhs: Rhs, v: Any, path: list[Frame], out_box: list[Any]) -> None:
+    w = rhs.writer
+    if w is not None:
+        w(v, path, out_box)
+    else:
+        _insert_val_to_rhs(rhs, v, path, out_box)
 
 
 # ---- glob matching ----

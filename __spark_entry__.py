@@ -413,7 +413,7 @@ def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvio_jolt_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, num_hashes=32, bands=16)
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=8)
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

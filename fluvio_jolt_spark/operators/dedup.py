@@ -75,18 +75,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc minhash signature as array<long> of length num_hashes.
 
-    The i-th hash family member is xxhash64(i, shingle) — the seed
-    column makes the families independent; everything stays in Catalyst
-    higher-order functions (ANSI-safe: xxhash64 wraps internally).
-    O(|shingles| * k) per doc, embarrassingly parallel, no shuffle."""
+    Each shingle string is hashed ONCE (xxhash64 → long); the i-th
+    family member re-mixes the 8-byte hash with a seed column —
+    hashing the string k times would dominate the cost. Everything
+    stays in Catalyst higher-order functions (ANSI-safe: xxhash64 wraps
+    internally). O(|shingles| * k) cheap mixes per doc, embarrassingly
+    parallel, no shuffle."""
     sh = word_shingles(text_col, shingle_n).alias("_shingles")
-    base = df.select(F.col(id_col), sh)
+    base = df.select(F.col(id_col), sh).withColumn(
+        "_hashes", F.transform("_shingles", lambda s: F.xxhash64(s))
+    )
 
     def _minhash(i: int):
         # single-arg lambda: a 2-arg lambda would receive the ARRAY INDEX
         # as its second parameter from F.transform
         seed = F.lit(i)
-        return F.array_min(F.transform("_shingles", lambda s: F.xxhash64(seed, s)))
+        return F.array_min(F.transform("_hashes", lambda h: F.xxhash64(seed, h)))
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return base.select(id_col, sig.alias("minhash"))

@@ -434,6 +434,55 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, q, k=10, n_planes=6, probe_hamming=2)
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority style 3-way join + agg + top-10."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .filter(F.col("l_shipdate") > "1995-03-15")
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+            "revenue",
+        )
+    )
+
+
+def _q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume style 5-way join + per-nation revenue."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
 def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
@@ -552,6 +601,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sampling": _q_media_frame_sampling,
     "image_features": _q_image_features,
     "tpch_q1": _q_tpch_q1,
+    "tpch_q3": _q_tpch_q3,
+    "tpch_q5ish": _q_tpch_q5ish,
     "topk_per_group": _q_topk_per_group,
     "broadcast_join_agg": _q_broadcast_join_agg,
     "rollup_orders": _q_rollup_orders,
@@ -716,6 +767,32 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem
           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+          SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, revenue
+          FROM (
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   row_number() OVER (ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC,
+                                      o_orderkey) AS rn
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate
+          ) WHERE rn <= 10
+        """,
+        "tpch_q5ish": """
+          SELECT n_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                 count(*) AS n_lineitems
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name
         """,
         "topk_per_group": """
           SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS top_price

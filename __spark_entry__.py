@@ -27,7 +27,16 @@ SESSION_GAP_S = 30 * 60
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a driver table; normalize naive timestamps to instants.
+
+    The driver runs queries() under a STOCK SparkSession, where naive
+    parquet timestamps infer as TIMESTAMP_NTZ (which rejects
+    unix_micros and numeric casts). ensure_ltz_all reinterprets the
+    stored wall-clock as UTC — exactly what DuckDB's epoch_us does on
+    the oracle side — and is a no-op under the tuned session."""
+    from fluvio_jolt_spark.functions.epoch import ensure_ltz_all
+
+    return ensure_ltz_all(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # ---------------------------------------------------------------- entry
@@ -304,11 +313,18 @@ def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only: synthetic media table, binary
-    payload pruned at scan; see operators/multimodal.py)."""
+    """Multimodal frame-sampling plumbing. The synth media table is
+    deterministic arithmetic on media_id, so the oracle regenerates it
+    in SQL (generate_series) — a real metadata-level value check; only
+    the binary payload (pruned at scan here) stays uncheckable."""
     from fluvio_jolt_spark.operators.multimodal import sample_video_frames, synth_media
 
-    return sample_video_frames(synth_media(spark, n=48), every_ms=500)
+    out = sample_video_frames(synth_media(spark, n=48), every_ms=500)
+    return out.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
 
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,30 +424,53 @@ def _q_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs (rows-only check: LSH bucketing has no
-    clean ANSI-SQL oracle)."""
+    """Near-dup candidate pairs via the md5 hash family, whose minhash
+    signatures and band buckets DuckDB reproduces exactly — the full LSH
+    pipeline is hash-checked (the xxhash64 family is the faster
+    production default; same algorithm, different mixer)."""
     from fluvio_jolt_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=8, hash_family="md5")
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit simhash fingerprints (rows-only: xxhash64 differs from
-    DuckDB's hash)."""
+    """Simhash fingerprints via the md5-derived 60-bit token hash —
+    byte-reproducible in the DuckDB oracle."""
     from fluvio_jolt_spark.operators.dedup import simhash
 
-    return simhash(_read(spark, sf_dir, "documents"))
+    return simhash(_read(spark, sf_dir, "documents"), hash_family="md5")
+
+
+# SRP planes for ann_lsh_topk are fixed at query-build time; the oracle
+# inlines the identical float literals, so both engines compute the same
+# buckets (explicit left-fold dot products on both sides).
+ANN_N_PLANES = 6
+ANN_PROBE_HAMMING = 2
+ANN_K = 10
+ANN_SEED = 42
+ANN_DIMS = 64
+
+
+def _ann_planes() -> "list[list[float]]":
+    from fluvio_jolt_spark.operators.similarity import _srp_planes
+
+    return [[float(x) for x in row] for row in _srp_planes(ANN_DIMS, ANN_N_PLANES, ANN_SEED)]
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via SRP-LSH (rows-only: approximation has no exact
-    oracle; exactness is covered by cosine_topk)."""
+    """Approximate NN via SRP-LSH: bucket filter (hamming ≤ 2 of the
+    query's bucket) then exact cosine on the surviving slice."""
     from fluvio_jolt_spark.operators.similarity import lsh_ann_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
-    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_ann_topk(emb, q, k=10, n_planes=6, probe_hamming=2)
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qsrc = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in qsrc.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = lsh_ann_topk(
+        emb, q, k=ANN_K, n_planes=ANN_N_PLANES, probe_hamming=ANN_PROBE_HAMMING,
+        seed=ANN_SEED,
+    )
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,10 +489,11 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # top-10 via orderBy().limit → TakeOrderedAndProject (per-partition
+    # heaps), not a global single-partition Window
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
         .select(
             "o_orderkey",
             F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
@@ -571,10 +611,8 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", F.round(sim, 6).alias("cos_sim")
     )
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        ranked.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).drop("rn")
-    )
+    # TakeOrderedAndProject, not a global window
+    return ranked.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -626,19 +664,128 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
 
+def _md5_60_sql(expr: str) -> str:
+    """DuckDB twin of operators.dedup.md5_60 (60-bit md5-derived hash)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _simhash_oracle() -> str:
+    # bits 60..63 of the 60-bit hash are always 0 → their ±1 sums are
+    # all-negative → fingerprint bits 60..63 are 0; only 0..59 computed.
+    bit_sums = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    return f"""
+          WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          ), h AS (
+            SELECT doc_id, {_md5_60_sql('tok')} AS h FROM toks
+          ), bits AS (
+            SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+          )
+          SELECT doc_id, {fp} AS simhash FROM bits
+        """
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 8, shingle_n: int = 3) -> str:
+    r = num_hashes // bands
+    members = ",\n                 ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _md5_60_sql(f"'{i}:' || s")
+        + f")) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    n = shingle_n
+    return f"""
+          WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= {n}
+                        THEN list_distinct(list_transform(
+                               range(1, len(w) - {n} + 2),
+                               i -> array_to_string(list_slice(w, i, i + {n} - 1), ' ')))
+                        ELSE [array_to_string(w, ' ')] END AS shingles
+            FROM w
+          ), sig AS (
+            SELECT doc_id, {members} FROM sh
+          ), bands AS (
+            {band_selects}
+          )
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+        """
+
+
+def _ann_oracle() -> str:
+    planes = _ann_planes()
+
+    def dot(vexpr: str, plane: list[float]) -> str:
+        # explicit left-fold sum — matches Spark's sequential
+        # aggregate(zip_with(...)) association exactly
+        terms = " + ".join(f"{vexpr}[{j + 1}] * {p!r}" for j, p in enumerate(plane))
+        return f"(0.0 + {terms})"
+
+    def bucket(vexpr: str) -> str:
+        cases = " + ".join(
+            f"(CASE WHEN {dot(vexpr, plane)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        return f"({cases})"
+
+    return f"""
+          WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+          ), qb AS (
+            SELECT {bucket('qv')} AS qbucket FROM q
+          ), cand AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id != 0
+          ), bucketed AS (
+            SELECT vec_id, v, {bucket('v')} AS bucket FROM cand
+          )
+          SELECT vec_id, round(list_cosine_similarity(v, q.qv), 6) AS cos_sim
+          FROM bucketed, q, qb
+          WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT)))
+                  <= {ANN_PROBE_HAMMING}
+          ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
+          LIMIT {ANN_K}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     gap_us = SESSION_GAP_S * 1_000_000
+    # NULLS FIRST pins DuckDB's window ordering to Spark's ASC default
+    # (Spark: NULLS FIRST; DuckDB: NULLS LAST) — a no-op on the current
+    # non-null driver data, but keeps window frames aligned on
+    # adversarial inputs. CAST(... AS BIGINT) pins DuckDB's integer-sum
+    # windows (HUGEINT/int128, which round-trips as float64 through
+    # dataframe conversion) to Spark's LongType.
     session_cte = f"""
       WITH gaps AS (
         SELECT event_id, user_id, ts, value,
                epoch_us(ts) - lag(epoch_us(ts)) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                 (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS gap_us
         FROM events
       ), sess AS (
         SELECT event_id, user_id, ts, value,
-               sum(CASE WHEN gap_us > {gap_us} THEN 1 ELSE 0 END) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(sum(CASE WHEN gap_us > {gap_us} THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
         FROM gaps
       )
     """
@@ -674,7 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "lag_latency": """
           SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                  epoch_us(ts) - lag(epoch_us(ts)) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                   (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS gap_us
           FROM events
         """,
         "sessionize": session_cte + "SELECT event_id, user_id, session_id FROM sess",
@@ -687,15 +834,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rolling_counts": """
           SELECT event_id, user_id,
-                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS purchases_last5
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS purchases_last5
           FROM events
         """,
         "backfill_last_value": """
           SELECT event_id, user_id,
                  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
           FROM events
         """,
@@ -730,7 +878,7 @@ def oracle_sql() -> dict[str, str]:
                  lead(event_type) OVER w AS lead_type,
                  lead(epoch_us(ts)) OVER w - epoch_us(ts) AS lead_gap_us
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
         """,
         "backfill_backward": """
           SELECT event_id, user_id,
@@ -840,6 +988,20 @@ def oracle_sql() -> dict[str, str]:
                  count(*) FILTER (event_type = 'signup') AS n_signup,
                  count(*) FILTER (event_type = 'view') AS n_view
           FROM events GROUP BY user_id
+        """,
+        "minhash_lsh_docs": _minhash_oracle(num_hashes=16, bands=8, shingle_n=3),
+        "simhash_docs": _simhash_oracle(),
+        "ann_lsh_topk": _ann_oracle(),
+        "media_frame_sampling": """
+          WITH media AS (
+            SELECT i AS media_id, 1000 + (i % 7) * 500 AS duration_ms
+            FROM range(0, 48) t(i)
+            WHERE i % 3 = 2
+          ), frames AS (
+            SELECT media_id, unnest(range(0, duration_ms // 500 + 1)) AS frame_no
+            FROM media
+          )
+          SELECT media_id, frame_no, frame_no * 500 AS frame_ts_ms FROM frames
         """,
         "exact_dedup_docs": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_copies

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.epoch import ensure_ltz
+
 
 def asof_join(
     left: DataFrame,
@@ -37,6 +39,8 @@ def asof_join(
     (event time, side priority) → filter left rows. No join node at all,
     so there is no row-multiplication risk and no broadcast-size limit.
     """
+    left = ensure_ltz(left, on)
+    right = ensure_ltz(right, right_on)
     by_cols = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by_cols + [right_on]]
@@ -58,9 +62,13 @@ def asof_join(
         [c for c in left.columns if c not in by_cols] + value_cols
     unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
+    # Final tiebreaker: duplicate right rows at identical (by, snap_ts)
+    # would otherwise leave last() nondeterministic — order by the value
+    # columns themselves so the pick is stable across runs/partitionings
+    # (the max value at the tied timestamp wins).
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy("_evt_ts", "_prio")
+        .orderBy("_evt_ts", "_prio", *value_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in value_cols:
@@ -94,6 +102,8 @@ def asof_join_salted(
     PRECEDING chunk summaries. Requires ``order_col`` order to agree
     with ``on`` order within each entity (true for turn_idx vs ts).
     """
+    left = ensure_ltz(left, on)
+    right = ensure_ltz(right, right_on)
     by_cols = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by_cols + [right_on]]
@@ -122,12 +132,19 @@ def asof_join_salted(
         F.lit(0).alias("_is_right"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
     )
-    # order: ranges first at equal time (is_right asc in the DESC scan)
-    # so a snapshot exactly at the chunk max still lands in that chunk
-    # (<= semantics downstream)
+    # Tie order at equal time in the DESC scan:
+    #   <= semantics: ranges first (is_right asc) — a snapshot exactly at
+    #     the chunk max lands IN that chunk, where within-chunk _prio
+    #     makes it visible to same-ts lefts.
+    #   <  (strict): rights first (is_right desc) — a snapshot exactly at
+    #     chunk N's max must NOT be served to a chunk N+1 left row with
+    #     the same ts via the carry-in coalesce (which has no _prio
+    #     guard), so assign it to chunk N+1 where the within-chunk window
+    #     applies strict ordering correctly.
+    tie = F.col("_is_right").asc() if not strict else F.col("_is_right").desc()
     w_assign = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col("_t").desc(), F.col("_is_right").asc())
+        .orderBy(F.col("_t").desc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     assigned_rights = (
@@ -155,9 +172,11 @@ def asof_join_salted(
         c for c in left.columns if c not in by_cols
     ] + value_cols
     unioned = l_tag.select(*cols).unionByName(rr.select(*cols))
+    # value_cols tiebreak mirrors asof_join: deterministic pick among
+    # duplicate right rows at identical (by, snap_ts)
     w_fill = (
         Window.partitionBy(*by_cols, "_chunk")
-        .orderBy("_evt_ts", "_prio")
+        .orderBy("_evt_ts", "_prio", *value_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned
@@ -168,9 +187,16 @@ def asof_join_salted(
     # (5) carry-in: last right value over preceding chunks' summaries.
     # Per-chunk summary = latest NON-NULL value by time (mirrors the
     # unsalted last(ignorenulls): a null right value never overwrites).
+    # max_by on (ts, value) structs: at tied timestamps the max value
+    # wins — the same deterministic pick as the window tiebreak above.
     summaries = assigned_rights.groupBy(*by_cols, "_chunk").agg(
         *[
-            F.max_by(c, F.when(F.col(c).isNotNull(), F.col(right_on))).alias(c)
+            F.max_by(
+                c,
+                F.when(
+                    F.col(c).isNotNull(), F.struct(F.col(right_on), F.col(c))
+                ),
+            ).alias(c)
             for c in value_cols
         ]
     )
@@ -212,6 +238,8 @@ def asof_join_pandas(
     """Cross-check variant: cogroup both sides by entity and run
     ``pd.merge_asof`` per group (applyInPandas over a cogroup). Same
     output contract as ``asof_join``."""
+    left = ensure_ltz(left, on)
+    right = ensure_ltz(right, right_on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in [by, right_on]]
 
@@ -231,7 +259,10 @@ def asof_join_pandas(
             for c in value_cols:
                 lpdf[c] = None
             return lpdf
-        rpdf = rpdf.sort_values(right_on, kind="mergesort")
+        # sort by value cols too: merge_asof keeps the LAST tied right
+        # row, so this pins the same max-value-at-tied-ts pick as the
+        # window variants (deterministic across input partitionings)
+        rpdf = rpdf.sort_values([right_on] + value_cols, kind="mergesort")
         merged = pd.merge_asof(
             lpdf,
             rpdf[[right_on] + value_cols],

@@ -15,14 +15,27 @@ All variants are shuffle-structured for 100 TB operation:
                candidate sets or as the LSH verify stage.
 * embedding cosine near-dup: see similarity.py.
 
-Hash functions are xxhash-free (not in the image): a splitmix64-based
-family seeded deterministically — stable across executors and runs.
+Hash functions: Spark's built-in ``xxhash64`` (JVM-side, codegen'd,
+seedable via a leading literal argument) — deterministic across
+executors and runs. Where a DuckDB-checkable oracle is needed, the
+``hash_family="md5"`` variants derive a 60-bit value from the md5 hex
+digest (``conv(substr(md5(x),1,15),16,10)``), which DuckDB reproduces
+exactly as ``('0x' || substr(md5(x),1,15))::BIGINT``; md5 is slower
+than xxhash64, so it is the verification path, not the default.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+def md5_60(col) -> "F.Column":
+    """60-bit hash from the md5 hex digest — the cross-engine-checkable
+    family: DuckDB computes the identical value as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. Slower than xxhash64
+    (full md5 per value), so used for verification paths, not defaults."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
 
 def content_hash(col) -> "F.Column":
     """64-bit content hash of a string column: xxhash64 (built-in,
@@ -72,25 +85,40 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc minhash signature as array<long> of length num_hashes.
 
-    Each shingle string is hashed ONCE (xxhash64 → long); the i-th
-    family member re-mixes the 8-byte hash with a seed column —
+    Default family (xxhash64): each shingle string is hashed ONCE; the
+    i-th family member re-mixes the 8-byte hash with a seed column —
     hashing the string k times would dominate the cost. Everything
     stays in Catalyst higher-order functions (ANSI-safe: xxhash64 wraps
     internally). O(|shingles| * k) cheap mixes per doc, embarrassingly
-    parallel, no shuffle."""
-    sh = word_shingles(text_col, shingle_n).alias("_shingles")
-    base = df.select(F.col(id_col), sh).withColumn(
-        "_hashes", F.transform("_shingles", lambda s: F.xxhash64(s))
-    )
+    parallel, no shuffle.
 
-    def _minhash(i: int):
-        # single-arg lambda: a 2-arg lambda would receive the ARRAY INDEX
-        # as its second parameter from F.transform
-        seed = F.lit(i)
-        return F.array_min(F.transform("_hashes", lambda h: F.xxhash64(seed, h)))
+    md5 family: member i = md5_60(f"{i}:" + shingle) — k full md5 passes
+    per shingle, but byte-reproducible in DuckDB SQL, which is what
+    makes the LSH pipeline oracle-checkable end-to-end."""
+    sh = word_shingles(text_col, shingle_n).alias("_shingles")
+    if hash_family == "md5":
+        base = df.select(F.col(id_col), sh)
+
+        def _minhash(i: int):
+            pre = F.lit(f"{i}:")
+            return F.array_min(
+                F.transform("_shingles", lambda s: md5_60(F.concat(pre, s)))
+            )
+
+    else:
+        base = df.select(F.col(id_col), sh).withColumn(
+            "_hashes", F.transform("_shingles", lambda s: F.xxhash64(s))
+        )
+
+        def _minhash(i: int):
+            # single-arg lambda: a 2-arg lambda would receive the ARRAY
+            # INDEX as its second parameter from F.transform
+            seed = F.lit(i)
+            return F.array_min(F.transform("_hashes", lambda h: F.xxhash64(seed, h)))
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
     return base.select(id_col, sig.alias("minhash"))
@@ -103,20 +131,34 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band bucket. rows_per_band = num_hashes // bands controls
-    the similarity threshold ~ (1/bands)^(1/rows_per_band)."""
+    the similarity threshold ~ (1/bands)^(1/rows_per_band).
+
+    hash_family="md5" additionally keeps band buckets as the raw
+    comma-joined signature slice (a string) instead of hashing it —
+    byte-reproducible in SQL. The default hashes the slice to a compact
+    8-byte join key (the shuffle-friendly production shape)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.xxhash64(F.concat_ws(",", F.lit(b), *[
-            F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)
-        ])).alias("bucket")
-        for b in range(bands)
-    ]
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
+    if hash_family == "md5":
+        band_cols = [
+            F.concat_ws(",", *[
+                F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)
+            ]).alias("bucket")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(F.concat_ws(",", F.lit(b), *[
+                F.element_at("minhash", b * r + j + 1).cast("string") for j in range(r)
+            ])).alias("bucket")
+            for b in range(bands)
+        ]
     exploded = sigs.select(
         id_col,
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias(
@@ -164,14 +206,20 @@ def jaccard_verify(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit simhash over word tokens: sum ±1 per bit weighted by token
     frequency, sign → bit. Catalyst-only: explode tokens → per-bit
-    aggregation via bit tricks on the token hash."""
+    aggregation via bit tricks on the token hash.
+
+    hash_family="md5" uses the 60-bit md5-derived token hash (bits
+    60-63 are then always 0 — an effectively-60-bit fingerprint), which
+    DuckDB reproduces exactly: the oracle-checkable variant."""
+    token_hash = md5_60 if hash_family == "md5" else F.xxhash64
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash(F.col("tok")))
     # For each of 64 bits: +1 if set else -1; sum over tokens; bit = sum>0
     bit_sums = toks.groupBy(id_col).agg(
         *[
@@ -199,12 +247,13 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates by the block-permutation trick: split the
     64-bit fingerprint into `blocks` chunks; any pair within
     max_hamming <= blocks-1 must agree on >=1 chunk (pigeonhole), so an
     equality join per chunk finds all of them; verify with bit_count."""
-    fps = simhash(df, text_col, id_col)
+    fps = simhash(df, text_col, id_col, hash_family)
     width = 64 // blocks
     chunked = fps.select(
         id_col,

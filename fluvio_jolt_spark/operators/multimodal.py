@@ -61,8 +61,23 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         cols["height"].append(hgt)
         cols["duration_ms"].append(dur if kind != "image" else None)
         cols["payload"].append(header + body)
-    pdf = pd.DataFrame(cols)
-    return spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    # Arrow table, not pandas: pandas coerces a None-bearing int column
+    # to float64/NaN, which createDataFrame rejects for IntegerType.
+    # Arrow keeps it a nullable int32 end-to-end.
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "media_id": pa.array(cols["media_id"], pa.int64()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "mime": pa.array(cols["mime"], pa.string()),
+            "width": pa.array(cols["width"], pa.int32()),
+            "height": pa.array(cols["height"], pa.int32()),
+            "duration_ms": pa.array(cols["duration_ms"], pa.int32()),
+            "payload": pa.array(cols["payload"], pa.binary()),
+        }
+    )
+    return spark.createDataFrame(table, MEDIA_SCHEMA)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":

@@ -27,7 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -50,8 +50,10 @@ def cosine_topk(
     df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     scored = df.select(id_col, cosine_sim_col(F.col(vec_col), query).alias("cos_sim"))
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    # orderBy().limit(k) → TakeOrderedAndProject: per-partition heaps,
+    # only k rows per partition reach the driver-side merge. A global
+    # Window.orderBy here would shuffle ALL rows to one task.
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
 def cosine_topk_pandas(
@@ -71,9 +73,15 @@ def cosine_topk_pandas(
             top = np.argsort(-sims, kind="stable")[:k]
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[top], "cos_sim": sims[top]})
 
-    partial = df.mapInPandas(score, schema=f"{id_col} long, cos_sim double")
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    # preserve the caller's id type (string/int32 ids work too)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("cos_sim", T.DoubleType(), True)]
+    )
+    partial = df.mapInPandas(score, schema=schema)
+    # global k-merge over ≤ k rows per partition — TakeOrderedAndProject
+    return partial.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
 # ---- SRP-LSH ----

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.epoch import ensure_ltz
 from .window_features import SESSION_GAP_S
 
 _CARRY = "_carry"
@@ -42,6 +43,26 @@ def with_turn_features_salted(
     rolling_k: int = 5,
     include_leads: bool = True,
 ) -> DataFrame:
+    """Salted (chunked) twin of ``with_turn_features``.
+
+    PRECONDITION — dense turn_idx: ``turn_idx`` must be 0-based and
+    contiguous within each conv_id (0,1,2,...). Chunk and carry-in
+    assignment use ``turn_idx % chunk_rows`` arithmetic, and
+    ``turn_in_session = turn_idx - session_start_turn`` relies on the
+    same density; with gaps (rows filtered upstream, or arbitrary
+    external parquet via jobs/run_features.py --turns) the chunk-tail
+    carry rows are misplaced and lag/rolling/session features silently
+    diverge at chunk seams. Re-derive a dense index first when unsure::
+
+        w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+        df = df.withColumn("turn_idx", F.row_number().over(w) - 1)
+
+    (one extra window pass — cheap relative to the feature stage, but
+    not free, which is why it is the caller's opt-in rather than built
+    in here). The bit-identical-to-unsalted guarantee (tested) holds
+    only under this precondition.
+    """
+    df = ensure_ltz(df, "ts")
     overlap = max(rolling_k - 1, 1)
 
     # One-pass row duplication: each row emits its home (chunk, carry=0)
@@ -82,7 +103,10 @@ def with_turn_features_salted(
 
     out = (
         u.withColumn("prev_ts", prev_ts)
-        .withColumn("inter_turn_s", F.col("ts").cast("double") - prev_ts.cast("double"))
+        .withColumn(
+            "inter_turn_s",
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) / F.lit(1_000_000.0),
+        )
         .withColumn("prev_role", F.lag("role").over(w))
         .withColumn(
             "role_alternated",
@@ -130,7 +154,7 @@ def with_turn_features_salted(
     # recompute all six window functions a second time (verified in the
     # physical plan); this branch needs lag(ts) + a sort-aggregate only.
     s_lag = F.lag("ts").over(w)
-    s_gap = F.col("ts").cast("double") - s_lag.cast("double")
+    s_gap = (F.unix_micros(F.col("ts")) - F.unix_micros(s_lag)) / F.lit(1_000_000.0)
     s_brk = F.when(s_gap > F.lit(float(session_gap_s)), 1).otherwise(0)
     s_tool_name = F.when(is_tool == 1, F.get_json_object("tool", "$.name"))
     summaries = (

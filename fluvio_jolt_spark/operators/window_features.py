@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.epoch import ensure_ltz
+
 SESSION_GAP_S = 30 * 60
 
 
@@ -43,12 +45,16 @@ def with_turn_features(
       last_tool_name          — backfill: most recent tool name seen so far
       lead_ts, lead_role      — explicit forward-looking features
     """
+    # Session-robust: naive parquet timestamps arrive as TIMESTAMP_NTZ
+    # under a stock session and reject unix_micros/numeric casts.
+    df = ensure_ltz(df, "ts")
+
     w = turn_order_window()
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wroll = w.rowsBetween(-(rolling_k - 1), Window.currentRow)
 
     prev_ts = F.lag("ts").over(w)
-    gap_s = F.col("ts").cast("double") - prev_ts.cast("double")
+    gap_s = (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) / F.lit(1_000_000.0)
 
     out = (
         df.withColumn("prev_ts", prev_ts)

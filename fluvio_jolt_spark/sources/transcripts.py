@@ -269,5 +269,12 @@ def read_transcripts(spark, n_turns: int, cache_dir: Path | None = None, seed: i
     through the normal columnar/pushdown path, standing in for an
     Iceberg table scan (jars not available in this sandbox; the
     interface is source-format-agnostic)."""
+    from ..functions.epoch import ensure_ltz
+
     tpath, spath = materialize(n_turns, cache_dir, seed)
-    return spark.read.parquet(str(tpath)), spark.read.parquet(str(spath))
+    # The cache stores naive micros; normalize to instants (UTC wall
+    # clock) so downstream temporal ops work under a stock session where
+    # parquet naive timestamps infer as TIMESTAMP_NTZ.
+    turns = ensure_ltz(spark.read.parquet(str(tpath)), "ts")
+    snaps = ensure_ltz(spark.read.parquet(str(spath)), "snap_ts")
+    return turns, snaps

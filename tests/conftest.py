@@ -20,6 +20,19 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def stock_spark(spark):
+    """Driver-replica session: the CORRECTNESS gate runs queries() under
+    a STOCK SparkSession, where naive parquet timestamps infer as
+    TIMESTAMP_NTZ (the round-1 failure mode). newSession() shares the
+    JVM but takes its own SQL conf, reset here to the stock defaults
+    that matter; shuffle partitions stay small purely for test speed."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    return s
+
+
+@pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
 

@@ -61,8 +61,12 @@ def _normalize(rows, columns):
 QUERY_NAMES = sorted(entry_mod.queries().keys())
 
 
+@pytest.mark.parametrize("mode", ["stock", "tuned"])
 @pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_matches_oracle(spark, ddb, name):
+def test_query_matches_oracle(request, ddb, name, mode):
+    # "stock" replicates the driver's vanilla session (TIMESTAMP_NTZ
+    # parquet reads); "tuned" is the engine's own build_session.
+    spark = request.getfixturevalue("spark" if mode == "tuned" else "stock_spark")
     q = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
     df = q(spark, SF_DIR)
@@ -92,7 +96,9 @@ def test_every_query_has_oracle_or_is_flagged():
     assert not missing, f"oracles without queries: {missing}"
 
 
-def test_entry_smoke(spark):
+@pytest.mark.parametrize("mode", ["stock", "tuned"])
+def test_entry_smoke(request, mode):
+    spark = request.getfixturevalue("spark" if mode == "tuned" else "stock_spark")
     df = entry_mod.entry(spark)
     n = df.count()
     assert n > 0

@@ -174,3 +174,66 @@ def test_asof_plan_no_join_single_shuffle(spark, transcripts_small):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_salted_boundary_tie_no_leak(spark, strict):
+    """A snapshot exactly at a chunk's max ts, with a NEXT-chunk left row
+    at the same ts: strict mode must not serve it via carry-in (the
+    cross-chunk coalesce has no priority guard, so chunk assignment has
+    to push the tied snapshot into the next chunk when strict)."""
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:10", "2024-01-01 00:20"]
+            ),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "snap_ts": pd.to_datetime(["2024-01-01 00:10"]),
+            "attr_value": [9.5],
+        }
+    )
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    want = asof_join(left, right, strict=strict).orderBy("turn_idx").toPandas()["attr_value"]
+    got = (
+        asof_join_salted(left, right, chunk_rows=2, strict=strict)
+        .orderBy("turn_idx")
+        .toPandas()["attr_value"]
+    )
+    assert ((want.isna() & got.isna()) | (want == got)).all(), (want.tolist(), got.tolist())
+    if strict:
+        # turns 1 and 2 share the snapshot's ts → must be null under <
+        assert got.isna()[:3].all() and got[3] == 9.5
+
+
+def test_asof_duplicate_right_ties_deterministic(spark):
+    """Duplicate right rows at identical (by, snap_ts): all three
+    variants pick the same deterministic value (the max at the tied
+    timestamp)."""
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": [0, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:20"]),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "snap_ts": pd.to_datetime(["2024-01-01 00:05"] * 3),
+            "attr_value": [3.0, 9.0, 6.0],
+        }
+    )
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    for fn, kw in [
+        (asof_join, {}),
+        (asof_join_salted, {"chunk_rows": 1}),
+        (asof_join_pandas, {}),
+    ]:
+        vals = fn(left, right, **kw).orderBy("turn_idx").toPandas()["attr_value"]
+        assert (vals == 9.0).all(), (fn.__name__, vals.tolist())

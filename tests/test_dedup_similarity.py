@@ -145,3 +145,37 @@ def test_ivf_pipeline(spark, emb):
     exact = set(_numpy_topk(pdf, query, 5))
     got = set(ivf_topk(assigned, cents, query, k=5, nprobe=4).toPandas()["vec_id"])
     assert len(exact & got) >= 3
+
+
+def test_cosine_topk_pandas_string_ids(spark, emb):
+    """cosine_topk_pandas derives the id field type from the input
+    schema — string ids must work and agree with the Catalyst variant."""
+    from pyspark.sql import functions as F
+
+    semb = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"), "embedding"
+    )
+    pdf = emb.toPandas()
+    query = [float(x) for x in pdf[pdf.vec_id == 3].embedding.iloc[0]]
+    a = cosine_topk(semb, query, k=8).toPandas()
+    b = cosine_topk_pandas(semb, query, k=8).toPandas()
+    assert a["vec_id"].map(type).eq(str).all()
+    assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+
+
+def test_md5_families_match_xxhash_structure(spark, docs):
+    """The md5 (oracle) hash family finds the same planted duplicate
+    pairs as the xxhash64 production family on this corpus."""
+    a = minhash_lsh_candidates(docs, num_hashes=16, bands=8).toPandas()
+    b = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, hash_family="md5"
+    ).toPandas()
+    exact_pairs_a = set(map(tuple, a[["id_a", "id_b"]].to_numpy()))
+    exact_pairs_b = set(map(tuple, b[["id_a", "id_b"]].to_numpy()))
+    # identical docs always collide in every band for any hash family
+    from fluvio_jolt_spark.operators.dedup import exact_dedup
+
+    dups = exact_dedup(docs).filter("n_copies > 1 AND NOT is_canonical").toPandas()
+    for _, r in dups.iterrows():
+        pair = (min(r.canonical_id, r.doc_id), max(r.canonical_id, r.doc_id))
+        assert pair in exact_pairs_a and pair in exact_pairs_b

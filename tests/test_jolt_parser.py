@@ -215,3 +215,81 @@ _KEY = st.text(
 def test_rhs_roundtrip_dotted_path(keys):
     got = parse_rhs(".".join(keys))
     assert got == Rhs([KeyPart(KeyEntry(k)) for k in keys])
+
+
+# ---- grammar-directed property tests: VALID expressions must parse ----
+# (random text rarely exercises the deep grammar; these generators build
+# syntactically-valid LHS/RHS strings from the DSL grammar and assert
+# parse success — the sharper half of the fuzz stand-in.)
+
+_IDX = st.integers(min_value=0, max_value=9).map(str)
+
+_LHS_ATOM = st.one_of(
+    _KEY,
+    st.just("*"),
+    _KEY.map(lambda k: k + "*"),
+    st.tuples(_KEY, _KEY).map(lambda t: f"{t[0]}*{t[1]}"),
+    st.just("&"),
+    _IDX.map(lambda i: f"&({i})"),
+    st.tuples(_IDX, _IDX).map(lambda t: f"&({t[0]},{t[1]})"),
+    st.just("$"),
+    st.tuples(_IDX, _IDX).map(lambda t: f"$({t[0]},{t[1]})"),
+    st.just("@"),
+    _KEY.map(lambda k: f"@({k})"),
+    st.tuples(_IDX, _KEY).map(lambda t: f"@({t[0]},{t[1]})"),
+    st.just("#lit"),
+    # escaped special char inside a key
+    st.sampled_from(list("$&@#*|[]().,")).map(lambda c: f"a\\{c}b"),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_LHS_ATOM)
+def test_lhs_valid_atoms_parse(s):
+    parse_lhs(s)  # must not raise
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.one_of(_KEY, st.just("*"), _KEY.map(lambda k: k + "*")),
+                min_size=1, max_size=4))
+def test_lhs_pipe_alternations_parse(parts):
+    got = parse_lhs("|".join(parts))
+    assert isinstance(got, (PipesLhs, LiteralLhs))
+
+
+_RHS_PART = st.one_of(
+    _KEY,
+    st.just("&"),
+    _IDX.map(lambda i: f"&({i})"),
+    st.tuples(_IDX, _IDX).map(lambda t: f"&({t[0]},{t[1]})"),
+    _KEY.map(lambda k: f"@({k})"),
+    st.tuples(_KEY, _KEY).map(lambda t: f"{t[0]}&{t[1]}"),  # composite
+)
+
+_RHS_INDEX = st.one_of(
+    st.just("[]"),
+    _IDX.map(lambda i: f"[{i}]"),
+    st.tuples(_IDX, _IDX).map(lambda t: f"[&({t[0]},{t[1]})]"),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_RHS_PART, min_size=1, max_size=4), _RHS_INDEX)
+def test_rhs_valid_paths_parse(parts, idx):
+    parse_rhs(".".join(parts))          # dotted path
+    parse_rhs(".".join(parts) + idx)    # with a trailing index op
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(list("$&@#*|[]().,\\")), _KEY)
+def test_lhs_escaped_special_is_literal(c, key):
+    got = parse_lhs(f"{key}\\{c}")
+    assert got == LiteralLhs(f"{key}{c}")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=5, max_value=8))
+def test_rhs_nested_at_beyond_max_depth_errors(depth):
+    expr = "@(0," * depth + "a" + ")" * depth
+    with pytest.raises(ParseError):
+        parse_rhs(expr)

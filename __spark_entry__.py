@@ -692,14 +692,25 @@ def _simhash_oracle() -> str:
         """
 
 
+def _rot60_sql(expr: str, r: int) -> str:
+    # masked-before-shift 60-bit rotation — mirrors operators.dedup._rot60
+    low = (1 << (60 - r)) - 1
+    return f"((({expr} & {low}) << {r}) | ({expr} >> {60 - r}))"
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 8, shingle_n: int = 3) -> str:
+    from fluvio_jolt_spark.operators.dedup import md5_rot_pair
+
     r = num_hashes // bands
-    members = ",\n                 ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _md5_60_sql(f"'{i}:' || s")
-        + f")) AS m{i}"
-        for i in range(num_hashes)
-    )
+
+    def member(i: int) -> str:
+        r1, r2 = md5_rot_pair(i)
+        mix = f"xor({_rot60_sql('h1[j]', r1)}, {_rot60_sql('h2[j]', r2)})"
+        return (
+            f"list_min(list_transform(range(1, len(h1) + 1), j -> {mix})) AS m{i}"
+        )
+
+    members = ",\n                 ".join(member(i) for i in range(num_hashes))
     band_selects = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, {b} AS band, "
         + " || ',' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
@@ -718,8 +729,15 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8, shingle_n: int = 3) ->
                                i -> array_to_string(list_slice(w, i, i + {n} - 1), ' ')))
                         ELSE [array_to_string(w, ' ')] END AS shingles
             FROM w
+          ), hx AS (
+            SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hx FROM sh
+          ), halves AS (
+            SELECT doc_id,
+                   list_transform(hx, x -> ('0x' || substr(x, 1, 15))::BIGINT) AS h1,
+                   list_transform(hx, x -> ('0x' || substr(x, 16, 15))::BIGINT) AS h2
+            FROM hx
           ), sig AS (
-            SELECT doc_id, {members} FROM sh
+            SELECT doc_id, {members} FROM halves
           ), bands AS (
             {band_selects}
           )

@@ -37,6 +37,23 @@ def md5_60(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_rot_pair(i: int) -> tuple[int, int]:
+    """Fixed per-member rotation offsets for the md5 minhash family
+    (7 and 13 are coprime to 60, so the pairs are distinct per i)."""
+    return (7 * i + 1) % 60, (13 * i + 29) % 60
+
+
+def _rot60(col, r: int) -> "F.Column":
+    """Rotate a 60-bit value left by r (1..59) without overflowing a
+    64-bit long: mask the bits that would leave the 60-bit window
+    BEFORE the left shift — the exact same expression DuckDB evaluates
+    (its << is overflow-checked, so an unmasked rotate would throw)."""
+    low = (1 << (60 - r)) - 1
+    return F.shiftleft(col.bitwiseAND(F.lit(low)), r).bitwiseOR(
+        F.shiftrightunsigned(col, 60 - r)
+    )
+
+
 def content_hash(col) -> "F.Column":
     """64-bit content hash of a string column: xxhash64 (built-in,
     JVM-side) — collision odds at 10^12 docs ≈ 2.7e-2 within a single
@@ -96,17 +113,39 @@ def minhash_signatures(
     internally). O(|shingles| * k) cheap mixes per doc, embarrassingly
     parallel, no shuffle.
 
-    md5 family: member i = md5_60(f"{i}:" + shingle) — k full md5 passes
-    per shingle, but byte-reproducible in DuckDB SQL, which is what
-    makes the LSH pipeline oracle-checkable end-to-end."""
+    md5 family: ONE md5 per shingle (same hash count as the default);
+    the digest's two disjoint 60-bit halves are remixed into the k
+    members with rotate/xor (masked-shift rotations, so DuckDB's
+    overflow-checked ``<<`` reproduces them exactly) — byte-identical
+    in SQL, which is what makes the LSH pipeline oracle-checkable
+    end-to-end."""
     sh = word_shingles(text_col, shingle_n).alias("_shingles")
     if hash_family == "md5":
-        base = df.select(F.col(id_col), sh)
+        base = (
+            df.select(F.col(id_col), sh)
+            .withColumn("_hx", F.transform("_shingles", lambda s: F.md5(s)))
+            .withColumn(
+                "_h1",
+                F.transform(
+                    "_hx", lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("long")
+                ),
+            )
+            .withColumn(
+                "_h2",
+                F.transform(
+                    "_hx", lambda x: F.conv(F.substring(x, 16, 15), 16, 10).cast("long")
+                ),
+            )
+        )
 
         def _minhash(i: int):
-            pre = F.lit(f"{i}:")
+            r1, r2 = md5_rot_pair(i)
             return F.array_min(
-                F.transform("_shingles", lambda s: md5_60(F.concat(pre, s)))
+                F.zip_with(
+                    "_h1",
+                    "_h2",
+                    lambda a, b: _rot60(a, r1).bitwiseXOR(_rot60(b, r2)),
+                )
             )
 
     else:

@@ -265,8 +265,11 @@ def run_flagship_frames(spark, turns, snaps, out_dir: str) -> None:
     max_conv = narrow.groupBy("conv_id").count().agg(_F.max("count")).collect()[0][0] or 0
     if max_conv > 4 * chunk_rows:
         feats = with_turn_features_salted(narrow, chunk_rows=chunk_rows)
+        # left_narrow: chunk-range metadata from the cheap scan, not
+        # from a re-run of the whole feature subtree (row-equivalent)
         feats = asof_join_salted(
-            feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=chunk_rows
+            feats, snaps, on="ts", right_on="snap_ts", by="conv_id",
+            chunk_rows=chunk_rows, left_narrow=narrow,
         )
     else:
         feats = with_turn_features(narrow)

@@ -87,11 +87,22 @@ def asof_join_salted(
     order_col: str = "turn_idx",
     chunk_rows: int = 8192,
     strict: bool = False,
+    left_narrow: DataFrame | None = None,
 ) -> DataFrame:
     """Skew-proof as-of join: identical output to ``asof_join`` while
     bounding every window partition to ``chunk_rows`` left rows — a
     mega-entity no longer pins one task (the same carry-in decomposition
     as skew.with_turn_features_salted, applied to last-known-value).
+
+    ``left_narrow``: optional row-equivalent projection of ``left``
+    carrying at least (by, order_col, on). The chunk-range metadata
+    (per-chunk max timestamps) is computed from it instead of ``left``;
+    Spark re-evaluates a shared subtree once per consumer, so when
+    ``left`` is itself an expensive pipeline (e.g. the windowed feature
+    stage) passing its cheap source here removes whole re-executions of
+    that pipeline from the plan. Caller contract: same rows (by,
+    order_col, on) as ``left`` — any 1:1 column-adding pipeline
+    qualifies.
 
     Plan: (1) chunk left rows on ``order_col``; (2) compute per-chunk
     time ranges (a per-(by,chunk) aggregate — rows ≈ n/chunk_rows);
@@ -111,8 +122,16 @@ def asof_join_salted(
     chunk = (F.col(order_col) / chunk_rows).cast("long").alias("_chunk")
     l_chunked = left.withColumn("_chunk", chunk)
 
-    # (2) per-chunk max event time — the small table (1 row per chunk)
-    ranges = l_chunked.groupBy(*by_cols, "_chunk").agg(F.max(on).alias("_chunk_max"))
+    # (2) per-chunk max event time — the small table (1 row per chunk).
+    # Computed from left_narrow when provided (see docstring): the agg
+    # prunes to 3 columns and partial-aggregates map-side, so this
+    # branch costs one cheap scan instead of a re-run of `left`.
+    meta = ensure_ltz(left_narrow, on) if left_narrow is not None else left
+    ranges = (
+        meta.withColumn("_chunk", chunk)
+        .groupBy(*by_cols, "_chunk")
+        .agg(F.max(on).alias("_chunk_max"))
+    )
 
     # (3) assign right rows to chunks: a right row with ts t belongs in
     # the FIRST chunk whose max >= t (it can then forward-fill within

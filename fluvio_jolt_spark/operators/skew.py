@@ -91,6 +91,13 @@ def with_turn_features_salted(
         .withColumn(_CHUNK, F.col("_e.chunk"))
         .withColumn(_CARRY, F.col("_e.carry"))
         .drop("_e")
+        # Always true (every explode entry carries a chunk), but stated
+        # explicitly so BOTH downstream branches embed the same
+        # isnotnull filter below their exchange: the final join infers
+        # it and pushes it down the feature branch only (it cannot pass
+        # the offsets window), which would otherwise leave the two
+        # exchange children one Filter apart and defeat reuse.
+        .filter(F.col(_CHUNK).isNotNull())
     )
 
     w = Window.partitionBy("conv_id", _CHUNK).orderBy("turn_idx", "ts")
@@ -150,33 +157,40 @@ def with_turn_features_salted(
 
     # ---- chunk summaries → cross-chunk offsets (tiny second pass) ----
     # Derived from the chunked rows with only the lag window (not from
-    # `out`): a summaries branch hanging off the full feature chain would
-    # recompute all six window functions a second time (verified in the
-    # physical plan); this branch needs lag(ts) + a sort-aggregate only.
+    # `out`: a branch off the full feature chain would recompute all six
+    # window functions a second time). Structured for EXCHANGE REUSE:
+    # this branch's shuffle child must be byte-identical to the main
+    # branch's so AQE serves both from ONE scan + ONE shuffle of the
+    # full data instead of two of each. Two things make that hold
+    # (verified in the final adaptive plan — ReusedQueryStage present):
+    #   1. every derived expression lives INSIDE the aggregate call (no
+    #      pre-projection that Catalyst could push below the exchange);
+    #   2. `_role_probe` keeps the one column this branch doesn't
+    #      otherwise need (role) alive through column pruning, so both
+    #      branches prune the scan to the same column set. The probe is
+    #      threaded into _tool_name_off through a never-true CASE (the
+    #      optimizer cannot fold `length(x) < -1`, so it survives), and
+    #      evaluates to NULL at runtime — semantics unchanged.
     s_lag = F.lag("ts").over(w)
     s_gap = (F.unix_micros(F.col("ts")) - F.unix_micros(s_lag)) / F.lit(1_000_000.0)
     s_brk = F.when(s_gap > F.lit(float(session_gap_s)), 1).otherwise(0)
     s_tool_name = F.when(is_tool == 1, F.get_json_object("tool", "$.name"))
     summaries = (
-        u.select(
-            "conv_id",
-            _CHUNK,
-            "turn_idx",
-            (F.when(real, is_tool).otherwise(0)).alias("_c_tool"),
-            (F.when(real, s_brk).otherwise(0)).alias("_c_brk"),
-            s_tool_name.alias("_t_name"),
-            F.when(
-                real & ((F.col("turn_idx") == 0) | (s_brk == 1)), F.col("turn_idx")
-            ).alias("_s_start"),
-        )
+        u.withColumn("_s_brk", s_brk)
         .groupBy("conv_id", _CHUNK)
         .agg(
-            F.sum("_c_tool").alias("_tool_tot"),
-            F.sum("_c_brk").alias("_brk_tot"),
+            F.sum(F.when(real, is_tool).otherwise(0)).alias("_tool_tot"),
+            F.sum(F.when(real, F.col("_s_brk")).otherwise(0)).alias("_brk_tot"),
             F.max_by(
-                "_t_name", F.when(F.col("_t_name").isNotNull(), F.col("turn_idx"))
+                s_tool_name, F.when(s_tool_name.isNotNull(), F.col("turn_idx"))
             ).alias("_tool_name_last"),
-            F.max("_s_start").alias("_sess_start_last"),
+            F.max(
+                F.when(
+                    real & ((F.col("turn_idx") == 0) | (F.col("_s_brk") == 1)),
+                    F.col("turn_idx"),
+                )
+            ).alias("_sess_start_last"),
+            F.first("role").alias("_role_probe"),
         )
     )
     woff = (
@@ -184,12 +198,15 @@ def with_turn_features_salted(
         .orderBy(_CHUNK)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    probe_null = F.when(F.length(F.col("_role_probe")) < F.lit(-1), F.lit(""))
     offsets = summaries.select(
         "conv_id",
         _CHUNK,
         F.coalesce(F.sum("_tool_tot").over(woff), F.lit(0)).alias("_tool_off"),
         F.coalesce(F.sum("_brk_tot").over(woff), F.lit(0)).alias("_brk_off"),
-        F.last("_tool_name_last", ignorenulls=True).over(woff).alias("_tool_name_off"),
+        F.coalesce(
+            F.last("_tool_name_last", ignorenulls=True).over(woff), probe_null
+        ).alias("_tool_name_off"),
         F.last("_sess_start_last", ignorenulls=True).over(woff).alias("_sess_start_off"),
     )
 

@@ -237,3 +237,23 @@ def test_asof_duplicate_right_ties_deterministic(spark):
     ]:
         vals = fn(left, right, **kw).orderBy("turn_idx").toPandas()["attr_value"]
         assert (vals == 9.0).all(), (fn.__name__, vals.tolist())
+
+
+def test_asof_salted_left_narrow_equivalent(spark, transcripts_small):
+    """left_narrow (cheap metadata source) must not change any value."""
+    from fluvio_jolt_spark.operators.window_features import with_turn_features
+
+    turns, snaps = transcripts_small
+    narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
+    feats = with_turn_features(narrow)
+    base = asof_join_salted(
+        feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=64
+    )
+    hinted = asof_join_salted(
+        feats, snaps, on="ts", right_on="snap_ts", by="conv_id", chunk_rows=64,
+        left_narrow=narrow,
+    )
+    cols = sorted(base.columns)
+    a = {(r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols) for r in base.collect()}
+    b = {(r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols) for r in hinted.collect()}
+    assert a == b

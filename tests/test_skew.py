@@ -78,3 +78,18 @@ def test_salted_bounds_partition_size(spark, transcripts_small):
     chunked = df.withColumn("_chunk", (F.col("turn_idx") / chunk_rows).cast("long"))
     sizes = chunked.groupBy("conv_id", "_chunk").count().agg(F.max("count")).collect()[0][0]
     assert sizes <= chunk_rows
+
+
+def test_salted_features_single_shuffle_of_data(spark, transcripts_small):
+    """The summaries branch must REUSE the feature branch's exchange
+    (one scan + one shuffle of the full data): the branch structure is
+    pinned so both exchange children canonicalize identically."""
+    import re
+
+    turns, _ = transcripts_small
+    narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
+    out = with_turn_features_salted(narrow, chunk_rows=64)
+    out.collect()  # count() would execute a different QueryExecution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert len(re.findall(r"Reused", plan)) >= 1, plan[:2000]

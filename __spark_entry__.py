@@ -473,6 +473,38 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full simhash near-dup pipeline: fingerprint → pigeonhole block
+    candidates → hamming verify (md5 family → value-checked oracle)."""
+    from fluvio_jolt_spark.operators.dedup import simhash_candidates
+
+    out = simhash_candidates(
+        _read(spark, sf_dir, "documents"), max_hamming=3, blocks=4, hash_family="md5"
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: SRP bucket-equality blocking → exact cosine
+    verify (plane literals inlined in the oracle)."""
+    from fluvio_jolt_spark.operators.similarity import embedding_near_dup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_dup(emb, n_planes=4, threshold=0.4, seed=ANN_SEED)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _q_lsh_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end minhash-LSH near-dup pipeline: signatures → band
+    candidates → exact shingle-Jaccard verify ≥ 0.5."""
+    from fluvio_jolt_spark.operators.dedup import jaccard_verify, minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=8, hash_family="md5")
+    out = jaccard_verify(cands, docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority style 3-way join + agg + top-10."""
     cust = _read(spark, sf_dir, "customer")
@@ -650,6 +682,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _q_pivot_event_counts,
     "minhash_lsh_docs": _q_minhash_lsh_docs,
     "simhash_docs": _q_simhash_docs,
+    "simhash_near_dup": _q_simhash_near_dup,
+    "embedding_near_dup": _q_embedding_near_dup,
+    "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "exact_dedup_docs": _q_exact_dedup_docs,
     "jaccard_adjacent_docs": _q_jaccard_adjacent,
@@ -748,21 +783,26 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8, shingle_n: int = 3) ->
         """
 
 
+def _srp_dot_sql(vexpr: str, plane: list[float]) -> str:
+    # explicit left-fold sum — matches Spark's sequential
+    # aggregate(zip_with(...)) association exactly
+    terms = " + ".join(f"{vexpr}[{j + 1}] * {p!r}" for j, p in enumerate(plane))
+    return f"(0.0 + {terms})"
+
+
+def _srp_bucket_sql(vexpr: str, planes: "list[list[float]]") -> str:
+    cases = " + ".join(
+        f"(CASE WHEN {_srp_dot_sql(vexpr, plane)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"({cases})"
+
+
 def _ann_oracle() -> str:
     planes = _ann_planes()
 
-    def dot(vexpr: str, plane: list[float]) -> str:
-        # explicit left-fold sum — matches Spark's sequential
-        # aggregate(zip_with(...)) association exactly
-        terms = " + ".join(f"{vexpr}[{j + 1}] * {p!r}" for j, p in enumerate(plane))
-        return f"(0.0 + {terms})"
-
     def bucket(vexpr: str) -> str:
-        cases = " + ".join(
-            f"(CASE WHEN {dot(vexpr, plane)} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i, plane in enumerate(planes)
-        )
-        return f"({cases})"
+        return _srp_bucket_sql(vexpr, planes)
 
     return f"""
           WITH q AS (
@@ -781,6 +821,68 @@ def _ann_oracle() -> str:
                   <= {ANN_PROBE_HAMMING}
           ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
           LIMIT {ANN_K}
+        """
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunk_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, (simhash >> {i * width}) & {mask} AS chunk FROM fps"
+        for i in range(blocks)
+    )
+    return f"""
+          WITH fps AS ({_simhash_oracle()}
+          ), chunks AS (
+            {chunk_selects}
+          )
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM chunks a
+          JOIN chunks b ON a.blk = b.blk AND a.chunk = b.chunk
+                        AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """
+
+
+def _embedding_near_dup_oracle(n_planes: int = 4, threshold: float = 0.4) -> str:
+    from fluvio_jolt_spark.operators.similarity import _srp_planes
+
+    planes = [[float(x) for x in row] for row in _srp_planes(ANN_DIMS, n_planes, ANN_SEED)]
+    return f"""
+          WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_srp_bucket_sql('CAST(embedding AS DOUBLE[])', planes)} AS bucket
+            FROM embeddings
+          )
+          SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+                 round(list_cosine_similarity(a.v, x.v), 6) AS cos_sim
+          FROM b a
+          JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+          WHERE list_cosine_similarity(a.v, x.v) >= {threshold}
+        """
+
+
+def _lsh_jaccard_oracle(threshold: float = 0.5) -> str:
+    return f"""
+          WITH cands AS ({_minhash_oracle(num_hashes=16, bands=8, shingle_n=3)}
+          ), sh2 AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN list_distinct(list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+                        ELSE [array_to_string(string_split(text, ' '), ' ')] END AS sh
+            FROM documents
+          )
+          SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+          FROM cands c
+          JOIN sh2 a ON a.doc_id = c.id_a
+          JOIN sh2 b ON b.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
         """
 
 
@@ -1009,6 +1111,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_docs": _minhash_oracle(num_hashes=16, bands=8, shingle_n=3),
         "simhash_docs": _simhash_oracle(),
+        "simhash_near_dup": _simhash_pairs_oracle(max_hamming=3, blocks=4),
+        "embedding_near_dup": _embedding_near_dup_oracle(n_planes=4, threshold=0.4),
+        "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
         "ann_lsh_topk": _ann_oracle(),
         "media_frame_sampling": """
           WITH media AS (

@@ -110,6 +110,8 @@ def main() -> None:
 
 
 def scaling_runs(n_turns: int, pairs=((2, 8), (8, 32)), rounds: int = 3) -> dict:
+    """(r2: shuffle partitions = 2×cores in each config — measured the
+    most stable granularity at this data size; AQE coalesces the rest.)"""
     """N→4N scaling evidence, sandbox protocol (see BENCH/BASELINE.md):
 
     * pinned cpusets (taskset) so local[N] cannot borrow idle cores for
@@ -329,7 +331,7 @@ sys.path.insert(0, {str(REPO)!r})
 from fluvio_jolt_spark.plans.session import build_session
 import bench
 spark = build_session(app_name="fjs-scale", master="local[{cores}]",
-                      shuffle_partitions={cores},
+                      shuffle_partitions={2 * cores},
                       extra_conf={{"spark.local.dir": {scratch!r} + "/local"}})
 bench.run_flagship(spark, max({n_turns} // 10, 1000), {scratch!r} + "/warm")
 shutil.rmtree({scratch!r} + "/warm", ignore_errors=True)

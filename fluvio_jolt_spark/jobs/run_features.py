@@ -30,6 +30,16 @@ def main(argv=None) -> int:
     p.add_argument("--spec", default=None, help="jolt spec JSON file (default: bench spec)")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--chunk-rows", type=int, default=8192)
+    p.add_argument(
+        "--reindex-turns",
+        action="store_true",
+        help="re-derive a dense 0-based turn_idx per conv_id (row_number over "
+        "(turn_idx, ts)) before the salted feature stage. REQUIRED for "
+        "external parquet whose turn_idx has gaps: the salted chunking "
+        "assumes dense contiguous turn_idx (see skew.with_turn_features_salted) "
+        "and silently misplaces chunk-seam carry rows otherwise. Synthetic "
+        "inputs are dense by construction; one extra window pass when on.",
+    )
     p.add_argument("--session-gap-s", type=int, default=1800)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
@@ -51,6 +61,13 @@ def main(argv=None) -> int:
     else:
         turns = spark.read.parquet(args.turns)
         snaps = spark.read.parquet(args.snapshots) if args.snapshots != "-" else None
+
+    if args.reindex_turns:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+        turns = turns.withColumn("turn_idx", F.row_number().over(w) - 1)
 
     spec_json = (
         Path(args.spec).read_text() if args.spec else reference_bench_spec()

@@ -145,6 +145,7 @@ def scaling_runs(n_turns: int, pairs=((2, 8), (8, 32)), rounds: int = 3) -> dict
         )
         out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
     out["platform_ceiling"] = _platform_ceiling(cores_needed)
+    out["membw_ceiling"] = _membw_ceiling(cores_needed)
     return out
 
 
@@ -317,6 +318,51 @@ def _platform_ceiling(cores_list) -> dict:
     ks = sorted(res)
     for lo, hi in zip(ks, ks[1:]):
         out[f"ceiling_eff_{lo}_to_{hi}"] = round(res[hi] / ((hi / lo) * res[lo]), 3)
+    return out
+
+
+def _membw_ceiling(cores_list) -> dict:
+    """Measured DRAM-STREAMING ceiling: N independent processes each
+    sweeping a buffer far larger than L3 (numpy copy+sum — pure memory
+    traffic, no Python-loop CPU). The pure-Python `_platform_ceiling`
+    is cache-resident and shows the box's CPU scaling; THIS one shows
+    how much memory bandwidth extra cores actually get — the binding
+    resource for shuffle/sort/encode stages. A pipeline whose
+    bandwidth-bound stages match this ceiling is scaling perfectly in
+    the per-node-resource sense (a real cluster adds DRAM channels
+    with every node; one box does not)."""
+    import multiprocessing as mp
+
+    def work(n_sweeps: int, start, done) -> None:
+        import numpy as np
+
+        a = np.ones(64 << 20, dtype=np.uint8)  # 64 MiB >> L3 slice
+        b = np.empty_like(a)
+        np.copyto(b, a)  # fault every page before the timed window
+        start.wait()  # barrier: import/alloc/warm-up excluded from timing
+        for _ in range(n_sweeps):
+            np.copyto(b, a)
+        done.wait()
+
+    res = {}
+    sweeps = 40
+    for procs in cores_list:
+        start = mp.Barrier(procs + 1)
+        done = mp.Barrier(procs + 1)
+        ps = [mp.Process(target=work, args=(sweeps, start, done)) for _ in range(procs)]
+        for p in ps:
+            p.start()
+        start.wait()
+        t0 = time.perf_counter()
+        done.wait()
+        dt = time.perf_counter() - t0
+        for p in ps:
+            p.join()
+        res[procs] = round(procs * sweeps * (64 << 20) * 2 / dt / 1e9, 2)  # GB/s r+w
+    out = {f"procs_{k}_gbps": v for k, v in res.items()}
+    ks = sorted(res)
+    for lo, hi in zip(ks, ks[1:]):
+        out[f"membw_eff_{lo}_to_{hi}"] = round(res[hi] / ((hi / lo) * res[lo]), 3)
     return out
 
 

@@ -505,6 +505,27 @@ def _q_lsh_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with nprobe = ALL centroids: the probe is exhaustive, so
+    the result must equal brute-force cosine top-k — a real value-check
+    of the IVF machinery (deterministic centroid training, BLAS
+    assignment, cluster probing, scoring); nprobe < n_centroids is then
+    the approximation knob on validated plumbing. Oracle = brute force."""
+    from fluvio_jolt_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qsrc = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in qsrc.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = ivf_train_centroids(emb, n_centroids=8, seed=ANN_SEED)
+    assigned = ivf_assign(emb, cents)
+    out = ivf_topk(assigned, cents, q, k=10, nprobe=len(cents))
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority style 3-way join + agg + top-10."""
     cust = _read(spark, sf_dir, "customer")
@@ -686,6 +707,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": _q_embedding_near_dup,
     "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
     "exact_dedup_docs": _q_exact_dedup_docs,
     "jaccard_adjacent_docs": _q_jaccard_adjacent,
     "token_stats": _q_token_stats,
@@ -1168,6 +1190,17 @@ def oracle_sql() -> dict[str, str]:
                             / len(string_split(text, ' ')) > 0.01
                        THEN 'en' ELSE 'other' END) = lang AS lang_match
           FROM documents
+        """,
+        "ivf_topk_exhaustive": """
+          WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+          ), scored AS (
+            SELECT vec_id,
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS sim
+            FROM embeddings, q WHERE vec_id != 0
+          )
+          SELECT vec_id, round(sim, 6) AS cos_sim
+          FROM scored ORDER BY sim DESC, vec_id LIMIT 10
         """,
         "cosine_topk": """
           WITH q AS (

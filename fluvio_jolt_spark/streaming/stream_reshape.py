@@ -98,6 +98,44 @@ def stream_running_tool_counts(
     )
 
 
+def stream_asof_enrich(
+    stream_df: DataFrame,
+    snaps: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    on: str = "ts",
+    right_on: str = "snap_ts",
+    by: str = "conv_id",
+):
+    """Point-in-time enrichment of a stream against a static (or
+    slowly-refreshed) snapshot table via foreachBatch: every micro-batch
+    runs the exact batch as-of join. With a static right side the
+    result is per-row exact regardless of how rows split into batches
+    (no cross-batch state needed — each left row's answer depends only
+    on itself and the right table), so batch ≡ stream holds bit-for-bit
+    and is pinned by test. The checkpoint gives exactly-once appends.
+
+    At scale: the right side is typically small (per-entity snapshots),
+    so the per-batch union-window runs over batch-rows + snapshot-rows
+    partitioned by entity — the same single-shuffle plan as batch.
+    """
+    from fluvio_jolt_spark.operators.asof import asof_join
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        asof_join(bdf, snaps, on=on, right_on=right_on, by=by).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query synchronously to completion over the
     currently-available input (test/demo harness)."""

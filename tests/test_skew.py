@@ -93,3 +93,32 @@ def test_salted_features_single_shuffle_of_data(spark, transcripts_small):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert len(re.findall(r"Reused", plan)) >= 1, plan[:2000]
+
+
+def test_salted_gappy_turn_idx_reindex(spark, transcripts_small):
+    """The documented contiguity precondition, pinned: on gappy
+    turn_idx the salted variant is re-aligned by re-deriving a dense
+    index (what run_features --reindex-turns does), after which it is
+    value-identical to the unsalted features on the same gappy data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fluvio_jolt_spark.operators.window_features import with_turn_features
+
+    turns, _ = transcripts_small
+    narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
+    # poke holes: drop ~1/3 of rows -> turn_idx has gaps
+    gappy = narrow.filter((F.xxhash64("conv_id", "turn_idx") % 3) != 0)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    dense = gappy.withColumn("turn_idx", F.row_number().over(w) - 1)
+
+    want = with_turn_features(dense).orderBy("conv_id", "turn_idx").collect()
+    got = (
+        with_turn_features_salted(dense, chunk_rows=7)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    cols = sorted({c for r in want[:1] for c in r.asDict()})
+    a = [tuple(r[c] for c in cols) for r in want]
+    b = [tuple(r[c] for c in cols) for r in got]
+    assert a == b

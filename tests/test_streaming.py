@@ -95,3 +95,27 @@ def test_stream_session_agg(spark, stream_dir):
     assert (got.session_end >= got.session_start).all()
     # total turns across sessions == input rows
     assert got.n_turns.sum() == spark.read.parquet(stream_dir).count()
+
+
+def test_stream_asof_enrich_matches_batch(spark, stream_dir, tmp_path):
+    """foreachBatch as-of enrichment against static snapshots must be
+    bit-identical to the batch as-of on the full data — per-row
+    exactness independent of micro-batch boundaries."""
+    from fluvio_jolt_spark.operators.asof import asof_join
+    from fluvio_jolt_spark.sources.transcripts import read_transcripts
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_asof_enrich
+
+    turns, snaps = read_transcripts(spark, n_turns=2000)
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    out_dir = str(tmp_path / "out")
+    stream_asof_enrich(
+        stream, snaps, out_dir, str(tmp_path / "ckpt"),
+        on="ts", right_on="snap_ts", by="conv_id",
+    )
+    got = spark.read.parquet(out_dir)
+    want = asof_join(turns, snaps, on="ts", right_on="snap_ts", by="conv_id")
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    cols = sorted(want.columns)
+    a = {key(r): tuple(str(r[c]) for c in cols) for r in want.collect()}
+    b = {key(r): tuple(str(r[c]) for c in cols) for r in got.collect()}
+    assert a == b

@@ -68,3 +68,29 @@ def test_package_zip(tmp_path):
     names = zipfile.ZipFile(out).namelist()
     assert "fluvio_jolt_spark/__init__.py" in names
     assert any(n.startswith("fluvio_jolt_spark/jolt/") for n in names)
+
+
+def test_partitioned_source_prunes(spark, tmp_path, sf_dir):
+    """Filters on partition columns must prune at the directory level:
+    PartitionFilters present in the scan and non-matching partition
+    directories never read."""
+    from pyspark.sql import functions as F
+
+    from fluvio_jolt_spark.sources.tables import PartitionedParquetSource
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    src = PartitionedParquetSource(str(tmp_path), partition_cols=("day",))
+    src.write(ev, "events_by_day")
+
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    assert len(days) >= 2, "need multiple partitions to prove pruning"
+    pick = days[0]
+
+    df = src.read(spark, "events_by_day").filter(F.col("day") == F.lit(pick))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+    # count rows and verify equality with an unpartitioned filter
+    want = ev.filter(F.col("day") == F.lit(pick)).count()
+    assert df.count() == want

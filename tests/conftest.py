@@ -14,7 +14,14 @@ if str(REPO_ROOT) not in sys.path:
 def spark():
     from fluvio_jolt_spark.plans.session import build_session
 
-    spark = build_session(app_name="fjs-tests", master="local[4]", shuffle_partitions=8)
+    spark = build_session(
+        app_name="fjs-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        # static conf: managed-table tests (bucketing) need a writable
+        # warehouse outside the repo
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/fjs-test-warehouse"},
+    )
     yield spark
     spark.stop()
 

@@ -94,3 +94,31 @@ def test_partitioned_source_prunes(spark, tmp_path, sf_dir):
     # count rows and verify equality with an unpartitioned filter
     want = ev.filter(F.col("day") == F.lit(pick)).count()
     assert df.count() == want
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO exchanges —
+    the co-located-join layout for entity-keyed tables at scale."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fluvio_jolt_spark.sources.tables import BucketedTableSource
+    from fluvio_jolt_spark.sources.transcripts import read_transcripts
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        turns, snaps = read_transcripts(spark, n_turns=3000)
+        src = BucketedTableSource(n_buckets=8, bucket_col="conv_id")
+        src.write(turns, "bkt_turns")
+        src.write(snaps, "bkt_snaps")
+        j = src.read(spark, "bkt_turns").join(src.read(spark, "bkt_snaps"), "conv_id")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan[:1500]
+        assert plan.count("Bucketed: true") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_turns")
+        spark.sql("DROP TABLE IF EXISTS bkt_snaps")

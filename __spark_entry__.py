@@ -240,6 +240,23 @@ def _q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "signup_value")
 
 
+def _q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-verify (layout-aware) as-of variant — zero exchanges on
+    co-bucketed tables; here over plain parquet, checked against the
+    same DuckDB ASOF JOIN oracle as the other three variants."""
+    from fluvio_jolt_spark.operators.asof import asof_join_bucketed
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("signup_value")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join_bucketed(
+        left, signups, on="ts", right_on="snap_ts", by="user_id", key_cols=("event_id",)
+    )
+    return out.select("event_id", "user_id", "signup_value")
+
+
 def _q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-proof chunked sessionizer over events (entity=user_id),
     checked against the plain SQL sessionization oracle — proves the
@@ -683,6 +700,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_signup": _q_asof_join,
     "asof_join_signup_pandas": _q_asof_join_pandas,
     "asof_join_salted": _q_asof_join_salted,
+    "asof_join_bucketed": _q_asof_join_bucketed,
     "sessionize_salted": _q_sessionize_salted,
     "lead_features": _q_lead_features,
     "backfill_backward": _q_backfill_backward,
@@ -1006,6 +1024,14 @@ def oracle_sql() -> dict[str, str]:
           ) s ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
         "asof_join_salted": """
+          SELECT e.event_id, e.user_id, s.signup_value
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "asof_join_bucketed": """
           SELECT e.event_id, e.user_id, s.signup_value
           FROM events e
           ASOF LEFT JOIN (

@@ -245,6 +245,65 @@ def asof_join_salted(
     return out.drop("_chunk", "_evt_ts", "_prio", *[c + "_off" for c in value_cols])
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    right_on: str = "snap_ts",
+    by: str | list[str] = "conv_id",
+    key_cols: "list[str] | tuple[str, ...]" = ("turn_idx",),
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Join-verify as-of for CO-PARTITIONED inputs (same-bucket tables,
+    or both sides already hash-partitioned by ``by``): plain left
+    equi-join on the entity key → per-left-row max_by over rights with
+    ``right_on <= on`` (``<`` when strict). The join and the group-by
+    both cluster on ``by``-subsets, so on bucketed tables the WHOLE
+    operator runs with ZERO exchanges (test-verified) — the layout-aware
+    companion to ``asof_join``'s union-window (which must reshuffle
+    because a union has no partitioning).
+
+    Trade-off: row expansion = rights-per-entity before the aggregate,
+    so use where the right side is sparse per entity (snapshot tables —
+    the common case). ``by + key_cols`` must uniquely identify a left
+    row. Tie semantics identical to ``asof_join``: at equal timestamps
+    the snapshot IS visible (<=), and among duplicate right timestamps
+    the max value wins (same deterministic pick as the window variant).
+    """
+    left = ensure_ltz(left, on)
+    right = ensure_ltz(right, right_on)
+    by_cols = [by] if isinstance(by, str) else list(by)
+    keys = list(key_cols)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in by_cols + [right_on]]
+
+    r = right.select(
+        *by_cols,
+        F.col(right_on).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    j = left.join(r.hint("SHUFFLE_HASH"), by_cols, "left")
+    visible = F.col("_r_ts") < F.col(on) if strict else F.col("_r_ts") <= F.col(on)
+
+    other = [c for c in left.columns if c not in by_cols + keys]
+    picks = [
+        F.max_by(
+            f"_r_{c}",
+            F.when(
+                visible & F.col(f"_r_{c}").isNotNull(),
+                F.struct(F.col("_r_ts"), F.col(f"_r_{c}")),
+            ),
+        ).alias(c)
+        for c in value_cols
+    ]
+    return (
+        j.groupBy(*by_cols, *keys)
+        .agg(*[F.first(c).alias(c) for c in other], *picks)
+        .select(*left.columns, *value_cols)
+    )
+
+
 def asof_join_pandas(
     left: DataFrame,
     right: DataFrame,

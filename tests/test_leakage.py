@@ -6,7 +6,12 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from fluvio_jolt_spark.operators.asof import asof_join, asof_join_pandas, asof_join_salted
+from fluvio_jolt_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+    asof_join_pandas,
+    asof_join_salted,
+)
 
 
 @pytest.fixture(scope="module")
@@ -44,8 +49,9 @@ def poisoned(spark):
         lambda l, r: asof_join(l, r),
         lambda l, r: asof_join_salted(l, r, chunk_rows=2),
         lambda l, r: asof_join_pandas(l, r),
+        lambda l, r: asof_join_bucketed(l, r, key_cols=("turn_idx",)),
     ],
-    ids=["window", "salted", "merge_asof"],
+    ids=["window", "salted", "merge_asof", "bucketed"],
 )
 def test_future_sentinel_never_joins(spark, poisoned, variant):
     left, right = poisoned

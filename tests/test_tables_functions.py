@@ -122,3 +122,40 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_turns")
         spark.sql("DROP TABLE IF EXISTS bkt_snaps")
+
+
+def test_bucketed_pipeline_zero_exchange_and_parity(spark, tmp_path):
+    """The 100 TB layout claim, end to end: over conv_id-bucketed turns
+    and snapshots, windowed features + the join-verify as-of run with
+    ZERO exchanges — and bit-match the union-window as-of."""
+    import re
+
+    from fluvio_jolt_spark.operators.asof import asof_join, asof_join_bucketed
+    from fluvio_jolt_spark.operators.window_features import with_turn_features
+    from fluvio_jolt_spark.sources.tables import BucketedTableSource
+    from fluvio_jolt_spark.sources.transcripts import read_transcripts
+
+    turns, snaps = read_transcripts(spark, n_turns=3000)
+    src = BucketedTableSource(n_buckets=8)
+    try:
+        src.write(turns, "bp_turns")
+        src.write(snaps, "bp_snaps")
+        bt, bs = src.read(spark, "bp_turns"), src.read(spark, "bp_snaps")
+        feats = with_turn_features(bt.select("conv_id", "turn_idx", "role", "tool", "ts"))
+        out = asof_join_bucketed(
+            feats, bs, on="ts", right_on="snap_ts", by="conv_id", key_cols=("turn_idx",)
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan[:1500]
+        want = asof_join(feats, bs, on="ts", right_on="snap_ts", by="conv_id")
+        cols = sorted(want.columns)
+        a = {(r["conv_id"], r["turn_idx"]): tuple(str(r[c]) for c in cols) for r in rows}
+        b = {
+            (r["conv_id"], r["turn_idx"]): tuple(str(r[c]) for c in cols)
+            for r in want.collect()
+        }
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bp_turns")
+        spark.sql("DROP TABLE IF EXISTS bp_snaps")

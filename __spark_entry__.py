@@ -346,10 +346,22 @@ def _q_media_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction via Arrow-batched mapInPandas with
-    the deterministic stub codec (rows-only)."""
+    the deterministic stub codec. The oracle precomputes the expected
+    rows with the same pure function locally (a VALUES literal), so the
+    distributed decode path is value-checked against a single-process
+    reference — the one query class where SQL cannot recompute the
+    answer (payload-byte-dependent)."""
     from fluvio_jolt_spark.operators.multimodal import extract_image_features, synth_media
 
-    return extract_image_features(synth_media(spark, n=48))
+    out = extract_image_features(synth_media(spark, n=48))
+    return out.select(
+        "media_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        "sig64",
+    )
 
 
 def _q_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,6 +938,30 @@ def _lsh_jaccard_oracle(threshold: float = 0.5) -> str:
         """
 
 
+def _image_features_oracle(n: int = 48) -> str:
+    """Expected image features as a VALUES literal, computed locally by
+    the SAME pure function the distributed stage runs — a golden-fixture
+    oracle for the payload-byte-dependent query."""
+    from fluvio_jolt_spark.operators.multimodal import image_feature_row, synth_media_rows
+
+    cols = synth_media_rows(n=n)
+    rows = [
+        image_feature_row(mid, payload)
+        for mid, kind, payload in zip(cols["media_id"], cols["kind"], cols["payload"])
+        if kind == "image"
+    ]
+    values = ",\n            ".join(
+        f"({mid}, {round(r, 6)!r}::DOUBLE, {round(g, 6)!r}::DOUBLE, "
+        f"{round(b, 6)!r}::DOUBLE, {round(s, 6)!r}::DOUBLE, {sig}::BIGINT)"
+        for mid, r, g, b, s, sig in rows
+    )
+    return f"""
+          SELECT * FROM (VALUES
+            {values}
+          ) t(media_id, mean_r, mean_g, mean_b, std_gray, sig64)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     gap_us = SESSION_GAP_S * 1_000_000
     # NULLS FIRST pins DuckDB's window ordering to Spark's ASC default
@@ -1163,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle(n_planes=4, threshold=0.4),
         "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
         "ann_lsh_topk": _ann_oracle(),
+        "image_features": _image_features_oracle(n=48),
         "media_frame_sampling": """
           WITH media AS (
             SELECT i AS media_id, 1000 + (i % 7) * 500 AS duration_ms

@@ -39,11 +39,11 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded pseudo-random
-    bytes with a 16-byte header encoding (kind, width, height). Built
-    through pandas/Arrow — py4j row serialization of binary payloads is
-    ~10× slower."""
+def synth_media_rows(n: int = 64, seed: int = 42) -> dict:
+    """Pure-Python generation of the deterministic fake media table —
+    shared by the Spark table builder AND the driver oracle (which
+    precomputes expected feature values locally, so the distributed
+    mapInPandas path is checked against a single-process reference)."""
     kinds = ["image", "audio", "video"]
     cols: dict = {k: [] for k in
                   ("media_id", "kind", "mime", "width", "height", "duration_ms", "payload")}
@@ -61,6 +61,15 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         cols["height"].append(hgt)
         cols["duration_ms"].append(dur if kind != "image" else None)
         cols["payload"].append(header + body)
+    return cols
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table: payload = seeded pseudo-random
+    bytes with a 16-byte header encoding (kind, width, height). Built
+    through Arrow — py4j row serialization of binary payloads is
+    ~10× slower."""
+    cols = synth_media_rows(n, seed)
     # Arrow table, not pandas: pandas coerces a None-bearing int column
     # to float64/NaN, which createDataFrame rejects for IntegerType.
     # Arrow keeps it a nullable int32 end-to-end.
@@ -100,6 +109,30 @@ def fake_decode_image(payload: bytes) -> np.ndarray:
     return body.reshape(h, w, 3)
 
 
+def image_feature_row(media_id: int, payload: bytes) -> tuple:
+    """Per-image features from the (fake-)decoded array — pure function
+    shared by the distributed mapInPandas stage and the local oracle
+    reference: (media_id, mean_r, mean_g, mean_b, std_gray, sig64)."""
+    arr = fake_decode_image(payload)
+    gray = arr.astype(np.float64).mean(axis=2)
+    # 8x8 average-hash signature
+    ah = gray[: (gray.shape[0] // 8) * 8, : (gray.shape[1] // 8) * 8]
+    ah = ah.reshape(8, ah.shape[0] // 8, 8, ah.shape[1] // 8).mean((1, 3))
+    bits = (ah > ah.mean()).flatten()
+    sig = 0
+    for b in bits:
+        sig = (sig << 1) | int(b)
+    sig -= 1 << 64 if sig >= 1 << 63 else 0
+    return (
+        int(media_id),
+        float(arr[:, :, 0].mean()),
+        float(arr[:, :, 1].mean()),
+        float(arr[:, :, 2].mean()),
+        float(gray.std()),
+        int(sig),
+    )
+
+
 def extract_image_features(
     df: DataFrame, payload_col: str = "payload", batch_budget_bytes: int = 64 << 20
 ) -> DataFrame:
@@ -119,28 +152,10 @@ def extract_image_features(
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = []
-            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                arr = fake_decode_image(bytes(payload))
-                gray = arr.astype(np.float64).mean(axis=2)
-                # 8x8 average-hash signature
-                ah = gray[: (gray.shape[0] // 8) * 8, : (gray.shape[1] // 8) * 8]
-                ah = ah.reshape(8, ah.shape[0] // 8, 8, ah.shape[1] // 8).mean((1, 3))
-                bits = (ah > ah.mean()).flatten()
-                sig = 0
-                for b in bits:
-                    sig = (sig << 1) | int(b)
-                sig -= 1 << 64 if sig >= 1 << 63 else 0
-                recs.append(
-                    (
-                        int(mid),
-                        float(arr[:, :, 0].mean()),
-                        float(arr[:, :, 1].mean()),
-                        float(arr[:, :, 2].mean()),
-                        float(gray.std()),
-                        int(sig),
-                    )
-                )
+            recs = [
+                image_feature_row(int(mid), bytes(payload))
+                for mid, payload in zip(pdf["media_id"], pdf[payload_col])
+            ]
             yield pd.DataFrame(
                 recs, columns=["media_id", "mean_r", "mean_g", "mean_b", "std_gray", "sig64"]
             )

@@ -122,3 +122,75 @@ def test_adversarial_events_match_oracle(spark, tmp_path_factory, name, rows):
     b = _normalize(ddb_rows, ddb_cols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: {mismatches[:5]}\nrows={rows}"
+
+
+# ---- adversarial documents: unicode, empties, repeats, single words ----
+
+DOC_QUERIES = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "exact_dedup_docs",
+    "simhash_docs",
+    "simhash_near_dup",
+    "minhash_lsh_docs",
+    "lsh_jaccard_near_dup",
+]
+
+_WORD = st.one_of(
+    st.sampled_from(["the", "a", "fox", "héllo", "Ω", "naïve", "x"]),
+    st.text(
+        alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs", "Cc")),
+        min_size=1,
+        max_size=6,
+    ),
+)
+
+_DOC = st.one_of(
+    st.lists(_WORD, min_size=1, max_size=12).map(" ".join),
+    st.just("solo"),             # single word → the len<n shingle branch
+    st.just("a a a a a"),        # heavy repeats → distinct-shingle dedup
+)
+
+
+def _materialize_docs(texts, tmpdir: str) -> None:
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(list(texts), pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/documents.parquet")
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_DOC, min_size=2, max_size=15))
+def test_adversarial_docs_match_oracle(spark, tmp_path_factory, name, texts):
+    # duplicate one doc so dedup/near-dup paths always have a hit
+    texts = list(texts) + [texts[0]]
+    tmpdir = str(tmp_path_factory.mktemp("advdoc"))
+    _materialize_docs(texts, tmpdir)
+
+    df = entry_mod.queries()[name](spark, tmpdir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = df.columns
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmpdir}/documents.parquet'")
+    res = con.execute(entry_mod.oracle_sql()[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(ddb_cols)
+    assert len(spark_rows) == len(ddb_rows), (len(spark_rows), len(ddb_rows))
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(ddb_rows, ddb_cols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {mismatches[:5]}\ntexts={texts}"

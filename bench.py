@@ -72,6 +72,27 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def jolt_kernel_us_per_rec(n: int = 30_000) -> float:
+    """Single-thread Jolt reshape microbenchmark (loads+transform+dumps
+    of the reference bench record through the reference bench spec)."""
+    from fluvio_jolt_spark.jolt.transform import transform_json
+    from fluvio_jolt_spark.operators.reshape import reference_bench_spec
+
+    spec = reference_bench_spec()
+    rec = Path("/root/reference/fluvio-jolt/benches/input.json")
+    payload = (
+        rec.read_text()
+        if rec.exists()
+        else '{"balance":"$1.00","age":32,"name":"A B","gender":"m",'
+             '"company":"C","email":"e@x","phone":"1","favoriteFruit":"k"}'
+    )
+    transform_json(payload, spec)  # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        transform_json(payload, spec)
+    return (time.perf_counter() - t0) / n * 1e6
+
+
 def main() -> None:
     from fluvio_jolt_spark.plans.session import build_session
     from fluvio_jolt_spark.sources.transcripts import materialize, sf_to_n_turns
@@ -100,6 +121,7 @@ def main() -> None:
         "sf": sf,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / flagship_sec, 1),
+        "jolt_kernel_us_per_rec": round(jolt_kernel_us_per_rec(), 2),
         "queries": queries,
     }
 

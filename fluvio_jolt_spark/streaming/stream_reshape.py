@@ -113,7 +113,13 @@ def stream_asof_enrich(
     result is per-row exact regardless of how rows split into batches
     (no cross-batch state needed — each left row's answer depends only
     on itself and the right table), so batch ≡ stream holds bit-for-bit
-    and is pinned by test. The checkpoint gives exactly-once appends.
+    and is pinned by test.
+
+    Exactly-once output: the checkpoint replays a failed batch with the
+    SAME batch_id, and each batch overwrites its own ``batch=<id>``
+    directory — so a crash mid-write leaves a partial directory that
+    the replay replaces, never duplicates (plain append would be
+    at-least-once). Pinned by a kill-after-partial-write test.
 
     At scale: the right side is typically small (per-entity snapshots),
     so the per-batch union-window runs over batch-rows + snapshot-rows
@@ -123,8 +129,8 @@ def stream_asof_enrich(
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
         asof_join(bdf, snaps, on=on, right_on=right_on, by=by).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream_df.writeStream.foreachBatch(_batch)

@@ -119,3 +119,54 @@ def test_stream_asof_enrich_matches_batch(spark, stream_dir, tmp_path):
     a = {key(r): tuple(str(r[c]) for c in cols) for r in want.collect()}
     b = {key(r): tuple(str(r[c]) for c in cols) for r in got.collect()}
     assert a == b
+
+
+def test_stream_asof_enrich_resumes_exactly_once(spark, stream_dir, tmp_path):
+    """Kill the enrichment AFTER a partial write of a batch, restart
+    from the same checkpoint: the replayed batch must overwrite its own
+    batch=<id> directory, so the final output contains every row
+    exactly once (a plain append sink would duplicate the partial
+    batch — at-least-once)."""
+    from fluvio_jolt_spark.operators.asof import asof_join
+    from fluvio_jolt_spark.sources.transcripts import read_transcripts
+
+    turns, snaps = read_transcripts(spark, n_turns=2000)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    seen = {"n": 0}
+
+    def poisoned(bdf, batch_id):
+        seen["n"] += 1
+        # write FIRST (idempotent per-batch overwrite), then fail the
+        # 3rd batch — its directory now holds a committed-but-unacked
+        # write that the checkpoint replay must replace, not duplicate
+        asof_join(bdf, snaps, on="ts", right_on="snap_ts", by="conv_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+        if seen["n"] == 3:
+            raise RuntimeError("injected failure")
+
+    stream = read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(poisoned)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected failure"):
+        q.awaitTermination()
+
+    # restart from the same checkpoint with the production operator
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_asof_enrich
+
+    stream_asof_enrich(
+        read_transcript_stream(spark, stream_dir, max_files_per_trigger=1),
+        snaps, out_dir, ckpt, on="ts", right_on="snap_ts", by="conv_id",
+    )
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2000
+    assert got.select("conv_id", "turn_idx").distinct().count() == 2000

@@ -206,16 +206,17 @@ def asof_join_salted(
     # (5) carry-in: last right value over preceding chunks' summaries.
     # Per-chunk summary = latest NON-NULL value by time (mirrors the
     # unsalted last(ignorenulls): a null right value never overwrites).
-    # max_by on (ts, value) structs: at tied timestamps the max value
-    # wins — the same deterministic pick as the window tiebreak above.
+    # The max_by key is the FULL (ts, *value_cols) tuple — the same
+    # total order the window variant sorts by — so with 2+ value
+    # columns every column is taken from the same tied right row as
+    # asof_join would pick, not from independent per-column maxima
+    # (struct comparison puts NULL fields first, matching the window's
+    # default NULLS FIRST ordering — verified by the multi-value-col
+    # tie test in tests/test_asof.py).
+    tie_key = F.struct(F.col(right_on), *[F.col(v) for v in value_cols])
     summaries = assigned_rights.groupBy(*by_cols, "_chunk").agg(
         *[
-            F.max_by(
-                c,
-                F.when(
-                    F.col(c).isNotNull(), F.struct(F.col(right_on), F.col(c))
-                ),
-            ).alias(c)
+            F.max_by(c, F.when(F.col(c).isNotNull(), tie_key)).alias(c)
             for c in value_cols
         ]
     )
@@ -254,6 +255,7 @@ def asof_join_bucketed(
     key_cols: "list[str] | tuple[str, ...]" = ("turn_idx",),
     value_cols: list[str] | None = None,
     strict: bool = False,
+    null_safe: bool = False,
 ) -> DataFrame:
     """Join-verify as-of for CO-PARTITIONED inputs (same-bucket tables,
     or both sides already hash-partitioned by ``by``): plain left
@@ -269,7 +271,18 @@ def asof_join_bucketed(
     the common case). ``by + key_cols`` must uniquely identify a left
     row. Tie semantics identical to ``asof_join``: at equal timestamps
     the snapshot IS visible (<=), and among duplicate right timestamps
-    the max value wins (same deterministic pick as the window variant).
+    all value columns are taken from the single right row that is max
+    by (ts, *value_cols) — the same deterministic pick as the window
+    variant.
+
+    NULL entity keys (caller contract): by default this equi-join never
+    matches NULL = NULL, so left rows with a NULL ``by`` key stay
+    unfilled — this DIFFERS from ``asof_join``, whose window
+    partitionBy groups NULL keys together. Pass ``null_safe=True`` to
+    match ``asof_join`` exactly via a null-safe (<=>) equi-join; the
+    null-safe key expression may cost an extra exchange on bucketed
+    layouts (hashpartitioning is on the raw column), which is why it is
+    opt-in.
     """
     left = ensure_ltz(left, on)
     right = ensure_ltz(right, right_on)
@@ -283,17 +296,30 @@ def asof_join_bucketed(
         F.col(right_on).alias("_r_ts"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
-    j = left.join(r.hint("SHUFFLE_HASH"), by_cols, "left")
+    if null_safe:
+        rr = r.select(
+            *[F.col(k).alias(f"_r_by_{k}") for k in by_cols],
+            *[c for c in r.columns if c not in by_cols],
+        )
+        cond = None
+        for k in by_cols:
+            term = left[k].eqNullSafe(F.col(f"_r_by_{k}"))
+            cond = term if cond is None else cond & term
+        j = left.join(rr.hint("SHUFFLE_HASH"), cond, "left").drop(
+            *[f"_r_by_{k}" for k in by_cols]
+        )
+    else:
+        j = left.join(r.hint("SHUFFLE_HASH"), by_cols, "left")
     visible = F.col("_r_ts") < F.col(on) if strict else F.col("_r_ts") <= F.col(on)
 
     other = [c for c in left.columns if c not in by_cols + keys]
+    # full-tuple tie key: every value column comes from the SAME tied
+    # right row (see asof_join_salted's summaries for the rationale)
+    r_tie_key = F.struct(F.col("_r_ts"), *[F.col(f"_r_{v}") for v in value_cols])
     picks = [
         F.max_by(
             f"_r_{c}",
-            F.when(
-                visible & F.col(f"_r_{c}").isNotNull(),
-                F.struct(F.col("_r_ts"), F.col(f"_r_{c}")),
-            ),
+            F.when(visible & F.col(f"_r_{c}").isNotNull(), r_tie_key),
         ).alias(c)
         for c in value_cols
     ]
@@ -339,8 +365,16 @@ def asof_join_pandas(
             return lpdf
         # sort by value cols too: merge_asof keeps the LAST tied right
         # row, so this pins the same max-value-at-tied-ts pick as the
-        # window variants (deterministic across input partitionings)
-        rpdf = rpdf.sort_values([right_on] + value_cols, kind="mergesort")
+        # window variants (deterministic across input partitionings).
+        # na_position='first' = Spark's NULLS FIRST; the per-column
+        # ffill reproduces last(ignorenulls): a NULL in the winning row
+        # falls back to the previous non-null of that column, exactly
+        # as the window variant does per column.
+        rpdf = rpdf.sort_values(
+            [right_on] + value_cols, kind="mergesort", na_position="first"
+        )
+        rpdf = rpdf.copy()
+        rpdf[value_cols] = rpdf[value_cols].ffill()
         merged = pd.merge_asof(
             lpdf,
             rpdf[[right_on] + value_cols],

@@ -38,9 +38,11 @@ def md5_60(col) -> "F.Column":
 
 
 def md5_rot_pair(i: int) -> tuple[int, int]:
-    """Fixed per-member rotation offsets for the md5 minhash family
-    (7 and 13 are coprime to 60, so the pairs are distinct per i)."""
-    return (7 * i + 1) % 60, (13 * i + 29) % 60
+    """Fixed per-member rotation offsets for the md5 minhash family.
+    Both offsets are always in 1..59 — never 0 — so every member gets a
+    genuine rotation of both digest halves (7·i mod 59 is injective for
+    i < 59, so the pairs are distinct per member)."""
+    return 1 + (7 * i) % 59, 1 + (13 * i) % 59
 
 
 def _rot60(col, r: int) -> "F.Column":

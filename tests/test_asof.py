@@ -6,7 +6,12 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from fluvio_jolt_spark.operators.asof import asof_join, asof_join_pandas, asof_join_salted
+from fluvio_jolt_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+    asof_join_pandas,
+    asof_join_salted,
+)
 
 
 @pytest.fixture(scope="module")
@@ -237,6 +242,85 @@ def test_asof_duplicate_right_ties_deterministic(spark):
     ]:
         vals = fn(left, right, **kw).orderBy("turn_idx").toPandas()["attr_value"]
         assert (vals == 9.0).all(), (fn.__name__, vals.tolist())
+
+
+def test_asof_multi_value_col_ties_agree(spark):
+    """2+ value columns with duplicate right rows at one (by, snap_ts):
+    ALL variants must take every value column from the SAME tied right
+    row (the row that is max by (ts, *value_cols)), with per-column
+    ignorenulls fallback when that row has a NULL — not independent
+    per-column maxima. Regression test for the salted carry-in /
+    bucketed max_by divergence (round-2 ADVICE)."""
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20"]
+            ),
+        }
+    )
+    # tied rows at 00:05; max by (ts, a, b) is (a=2.0, b=None):
+    # per-column ignorenulls → a=2.0, b falls back to 3.0 (NOT 9.0,
+    # which an independent max_by(b, (ts, b)) would return)
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "snap_ts": pd.to_datetime(["2024-01-01 00:05"] * 3),
+            "a": [1.0, 2.0, 1.5],
+            "b": [9.0, None, 3.0],
+        }
+    )
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    want = asof_join(left, right).orderBy("turn_idx").toPandas()
+    # turn 0 (00:00) precedes every snapshot → unfilled
+    assert pd.isna(want["a"].iloc[0]) and want["a"].tolist()[1:] == [2.0, 2.0]
+    assert pd.isna(want["b"].iloc[0]) and want["b"].tolist()[1:] == [3.0, 3.0]
+
+    def same(x, y):
+        return ((x.isna() & y.isna()) | (x == y)).all()
+
+    for fn, kw in [
+        (asof_join_salted, {"chunk_rows": 1}),
+        (asof_join_pandas, {}),
+        (asof_join_bucketed, {}),
+    ]:
+        got = fn(left, right, **kw).orderBy("turn_idx").toPandas()
+        assert same(got["a"], want["a"]), (fn.__name__, got["a"].tolist())
+        assert same(got["b"], want["b"]), (fn.__name__, got["b"].tolist())
+
+
+def test_asof_bucketed_null_entity_keys(spark):
+    """NULL conv_id: asof_join's window groups NULL keys together;
+    bucketed's default equi-join leaves them unfilled (documented caller
+    contract); null_safe=True restores the window behavior."""
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": [None, "c1"],
+            "turn_idx": [0, 0],
+            "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:10"]),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": [None, "c1"],
+            "snap_ts": pd.to_datetime(["2024-01-01 00:05"] * 2),
+            "attr_value": [5.0, 7.0],
+        }
+    )
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    win = asof_join(left, right).orderBy("conv_id").toPandas()["attr_value"]
+    assert win.tolist() == [5.0, 7.0]  # NULL key filled from NULL-key right
+    default = (
+        asof_join_bucketed(left, right).orderBy("conv_id").toPandas()["attr_value"]
+    )
+    assert pd.isna(default.iloc[0]) and default.iloc[1] == 7.0
+    safe = (
+        asof_join_bucketed(left, right, null_safe=True)
+        .orderBy("conv_id")
+        .toPandas()["attr_value"]
+    )
+    assert safe.tolist() == win.tolist()
 
 
 def test_asof_salted_left_narrow_equivalent(spark, transcripts_small):

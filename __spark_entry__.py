@@ -364,6 +364,28 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same distributed feature stage, but over REAL encoded byte
+    streams: binary PPM (P6) and 24-bit BMP payloads, decoded by the
+    pure-numpy codecs (operators/multimodal.py decode_ppm/decode_bmp) —
+    no stub anywhere in this path. Golden VALUES oracle computed
+    locally by the same pure function."""
+    from fluvio_jolt_spark.operators.multimodal import (
+        extract_image_features,
+        synth_ppm_bmp_media,
+    )
+
+    out = extract_image_features(synth_ppm_bmp_media(spark, n=32))
+    return out.select(
+        "media_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        "sig64",
+    )
+
+
 def _q_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -753,6 +775,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
     "image_features": _q_image_features,
+    "image_features_real": _q_image_features_real,
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q5ish": _q_tpch_q5ish,
@@ -1011,13 +1034,19 @@ def _lsh_jaccard_oracle(threshold: float = 0.5) -> str:
         """
 
 
-def _image_features_oracle(n: int = 48) -> str:
+def _image_features_oracle(n: int = 48, real_codecs: bool = False) -> str:
     """Expected image features as a VALUES literal, computed locally by
     the SAME pure function the distributed stage runs — a golden-fixture
-    oracle for the payload-byte-dependent query."""
-    from fluvio_jolt_spark.operators.multimodal import image_feature_row, synth_media_rows
+    oracle for the payload-byte-dependent query. real_codecs=True uses
+    the PPM/BMP-encoded table (actual byte-stream decode on both
+    sides)."""
+    from fluvio_jolt_spark.operators.multimodal import (
+        image_feature_row,
+        synth_media_rows,
+        synth_ppm_bmp_media_rows,
+    )
 
-    cols = synth_media_rows(n=n)
+    cols = (synth_ppm_bmp_media_rows if real_codecs else synth_media_rows)(n=n)
     rows = [
         image_feature_row(mid, payload)
         for mid, kind, payload in zip(cols["media_id"], cols["kind"], cols["payload"])
@@ -1282,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
         "ann_lsh_topk": _ann_oracle(),
         "image_features": _image_features_oracle(n=48),
+        "image_features_real": _image_features_oracle(n=32, real_codecs=True),
         "media_frame_sampling": """
           WITH media AS (
             SELECT i AS media_id, 1000 + (i % 7) * 500 AS duration_ms

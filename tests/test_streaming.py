@@ -170,3 +170,51 @@ def test_stream_asof_enrich_resumes_exactly_once(spark, stream_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 2000
     assert got.select("conv_id", "turn_idx").distinct().count() == 2000
+
+
+def test_kafka_value_decode_path(spark):
+    """decode_kafka_transcripts over a static frame with the standard
+    Kafka source schema: JSON values decode to transcript columns, a
+    record without ts falls back to the broker timestamp, malformed
+    JSON is dropped (or kept as NULLs for a dead-letter branch)."""
+    import datetime as dt
+
+    from fluvio_jolt_spark.streaming.stream_reshape import decode_kafka_transcripts
+
+    broker_ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (
+            b"k1",
+            b'{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":"","ts":"2024-01-01T00:00:00"}',
+            "turns", 0, 0, broker_ts,
+        ),
+        (  # no ts field -> broker timestamp
+            b"k2",
+            b'{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"yo","tool":""}',
+            "turns", 0, 1, broker_ts,
+        ),
+        (b"k3", b"not json at all", "turns", 0, 2, broker_ts),
+    ]
+    kafka_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp"
+    )
+    raw = spark.createDataFrame(rows, schema=kafka_schema)
+
+    out = decode_kafka_transcripts(raw).orderBy("turn_idx").toPandas()
+    assert out.conv_id.tolist() == ["c1", "c1"]
+    assert out.ts.iloc[0] == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert out.ts.iloc[1] == broker_ts
+    assert list(out.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    kept = decode_kafka_transcripts(raw, drop_malformed=False).toPandas()
+    assert len(kept) == 3 and kept.conv_id.isna().sum() == 1
+
+
+def test_kafka_reader_fails_fast_without_connector(spark):
+    """No spark-sql-kafka jar in this sandbox: construction must raise
+    immediately with an actionable message, not mid-stream."""
+    from fluvio_jolt_spark.streaming.stream_reshape import read_transcript_kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_transcript_kafka_stream(spark, "broker:9092", "turns")

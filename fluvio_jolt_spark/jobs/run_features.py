@@ -3,11 +3,21 @@
   spark-submit --py-files fluvio_jolt_spark.zip \
       fluvio_jolt_spark/jobs/run_features.py \
       --turns <parquet path or synthetic:N> --snapshots <path|-> \
-      --out /path/out --buckets 64 [--resume]
+      --out /path/out --buckets 64 [--resume] [--layout bucketed]
 
-Runs reshape + salted window features + as-of join with per-bucket
-checkpoints/lineage (plans.checkpoint); a second invocation with
---resume skips committed buckets.
+Default layout (checkpointed): reshape + salted window features + as-of
+join with per-bucket checkpoints/lineage (plans.checkpoint); a second
+invocation with --resume skips committed buckets.
+
+--layout=bucketed is the at-scale default layout run end-to-end: turns
+and snapshots are written as conv_id-bucketed managed tables, then the
+WHOLE pipeline executes with ZERO shuffle exchanges — the bucketed scan
+satisfies the window stage's clustering, the as-of is the co-located
+join-verify variant, the payload join is bucket-co-located, and the
+row-local jolt reshape runs LAST (mapInPandas drops partitioning info,
+so putting it after the joins keeps every join exchange-free). The
+report JSON includes the counted "exchanges" so callers (and the job
+test) can assert the zero-shuffle property.
 """
 
 from __future__ import annotations
@@ -42,6 +52,20 @@ def main(argv=None) -> int:
     )
     p.add_argument("--session-gap-s", type=int, default=1800)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--layout",
+        choices=("checkpointed", "bucketed"),
+        default="checkpointed",
+        help="'bucketed' materializes conv_id-bucketed tables and runs the "
+        "zero-exchange pipeline (no checkpoint/resume; see module docstring)",
+    )
+    p.add_argument(
+        "--warehouse",
+        default=None,
+        help="spark.sql.warehouse.dir for the bucketed layout's managed "
+        "tables (a STATIC conf — only effective when this job creates "
+        "the session)",
+    )
     args = p.parse_args(argv)
 
     from fluvio_jolt_spark.operators.asof import asof_join
@@ -51,7 +75,10 @@ def main(argv=None) -> int:
     from fluvio_jolt_spark.plans.session import build_session
     from fluvio_jolt_spark.sources.transcripts import materialize
 
-    spark = build_session(app_name="fjs-run-features")
+    spark = build_session(
+        app_name="fjs-run-features",
+        extra_conf={"spark.sql.warehouse.dir": args.warehouse} if args.warehouse else None,
+    )
 
     if args.turns.startswith("synthetic:"):
         n = int(args.turns.split(":", 1)[1])
@@ -72,6 +99,12 @@ def main(argv=None) -> int:
     spec_json = (
         Path(args.spec).read_text() if args.spec else reference_bench_spec()
     )
+
+    if args.layout == "bucketed":
+        report = _run_bucketed(spark, turns, snaps, spec_json, args)
+        print(json.dumps(report))
+        spark.stop()
+        return 0
 
     def pipeline(df):
         feats = with_turn_features_salted(
@@ -105,6 +138,70 @@ def main(argv=None) -> int:
     print(json.dumps(report))
     spark.stop()
     return 0
+
+
+def _run_bucketed(spark, turns, snaps, spec_json: str, args) -> dict:
+    """The zero-exchange at-scale pipeline over bucketed managed tables.
+
+    Stage order matters: window features and the join-verify as-of run
+    straight off the bucketed scans (clustering satisfied, no
+    exchange); the payload text is joined while both sides still carry
+    the bucket partitioning; the row-local jolt reshape runs last
+    because mapInPandas re-creates output attributes and thereby drops
+    partitioning information — downstream of all joins that is free.
+    """
+    import re
+    import time as _time
+
+    from fluvio_jolt_spark.operators.asof import asof_join_bucketed
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape
+    from fluvio_jolt_spark.operators.window_features import with_turn_features
+    from fluvio_jolt_spark.sources.tables import BucketedTableSource
+
+    def _drop(name: str) -> None:
+        # idempotent re-runs: drop the registration AND any orphaned
+        # managed-table location (saveAsTable refuses to overwrite a
+        # leftover directory from a killed run)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(Path(wh) / name.lower(), ignore_errors=True)
+
+    t0 = _time.time()
+    src = BucketedTableSource(n_buckets=args.buckets, bucket_col="conv_id")
+    _drop("fjs_bkt_turns")
+    src.write(turns, "fjs_bkt_turns")
+    bt = src.read(spark, "fjs_bkt_turns")
+    feats = with_turn_features(
+        bt.select("conv_id", "turn_idx", "role", "tool", "ts"),
+        session_gap_s=args.session_gap_s,
+    )
+    if snaps is not None:
+        _drop("fjs_bkt_snaps")
+        src.write(snaps, "fjs_bkt_snaps")
+        bs = src.read(spark, "fjs_bkt_snaps")
+        feats = asof_join_bucketed(
+            feats, bs, on="ts", right_on="snap_ts", by="conv_id", key_cols=("turn_idx",)
+        )
+    joined = feats.join(
+        bt.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+    )
+    out = jolt_reshape(joined, spec_json, columns="text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    return {
+        "job": "run_features",
+        "layout": "bucketed",
+        "n_buckets": args.buckets,
+        "rows": n,
+        "exchanges": exchanges,
+        "bucketed_scans": plan.count("Bucketed: true"),
+        "elapsed_s": round(_time.time() - t0, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -159,3 +159,37 @@ def test_bucketed_pipeline_zero_exchange_and_parity(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bp_turns")
         spark.sql("DROP TABLE IF EXISTS bp_snaps")
+
+
+def test_run_features_bucketed_layout_zero_exchange(spark, tmp_path):
+    """Job-level check of the at-scale default layout: run_features
+    --layout=bucketed executes end-to-end (real spark-submit surface,
+    own JVM) with ZERO shuffle exchanges — window + as-of + payload
+    join all satisfied by the bucketed scans, row-local reshape last —
+    and writes the full feature vector."""
+    import json
+    import os
+
+    out = tmp_path / "bkt_out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    res = subprocess.run(
+        [
+            sys.executable, "fluvio_jolt_spark/jobs/run_features.py",
+            "--turns", "synthetic:3000",
+            "--snapshots", "-",  # synthetic path provides snaps itself
+            "--out", str(out),
+            "--buckets", "8",
+            "--layout", "bucketed",
+            "--warehouse", str(tmp_path / "wh"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["layout"] == "bucketed"
+    assert report["exchanges"] == 0, report
+    assert report["bucketed_scans"] >= 2
+    got = spark.read.parquet(str(out))
+    assert report["rows"] == got.count() == 3000
+    for col in ("conv_id", "turn_idx", "session_id", "attr_value", "text_reshaped"):
+        assert col in got.columns, got.columns

@@ -42,8 +42,10 @@ def with_turn_features_salted(
     session_gap_s: int = SESSION_GAP_S,
     rolling_k: int = 5,
     include_leads: bool = True,
+    tool_is_name: bool = False,
 ) -> DataFrame:
-    """Salted (chunked) twin of ``with_turn_features``.
+    """Salted (chunked) twin of ``with_turn_features`` (tool_is_name as
+    there: the tool column already holds the extracted name).
 
     PRECONDITION — dense turn_idx: ``turn_idx`` must be 0-based and
     contiguous within each conv_id (0,1,2,...). Chunk and carry-in
@@ -147,7 +149,8 @@ def with_turn_features_salted(
 
     # forward-fill sources (carry rows are legitimate earlier turns, so
     # they may supply fill values within the chunk)
-    tool_name = F.when(F.col("is_tool_call") == 1, F.get_json_object("tool", "$.name"))
+    name_expr = F.col("tool") if tool_is_name else F.get_json_object("tool", "$.name")
+    tool_name = F.when(F.col("is_tool_call") == 1, name_expr)
     out = out.withColumn("_tool_name_w", F.last(tool_name, ignorenulls=True).over(wcum))
     # session-start turn: first real turn of the conversation or any break row
     sess_start_src = F.when(
@@ -174,7 +177,7 @@ def with_turn_features_salted(
     s_lag = F.lag("ts").over(w)
     s_gap = (F.unix_micros(F.col("ts")) - F.unix_micros(s_lag)) / F.lit(1_000_000.0)
     s_brk = F.when(s_gap > F.lit(float(session_gap_s)), 1).otherwise(0)
-    s_tool_name = F.when(is_tool == 1, F.get_json_object("tool", "$.name"))
+    s_tool_name = F.when(is_tool == 1, name_expr)
     summaries = (
         u.withColumn("_s_brk", s_brk)
         .groupBy("conv_id", _CHUNK)

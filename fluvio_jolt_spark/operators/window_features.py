@@ -31,6 +31,7 @@ def with_turn_features(
     session_gap_s: int = SESSION_GAP_S,
     rolling_k: int = 5,
     include_leads: bool = True,
+    tool_is_name: bool = False,
 ) -> DataFrame:
     """Compute the transcript feature vector per (conv_id, turn_idx, ts).
 
@@ -44,6 +45,11 @@ def with_turn_features(
       turn_in_session         — 0-based index within the session
       last_tool_name          — backfill: most recent tool name seen so far
       lead_ts, lead_role      — explicit forward-looking features
+
+    tool_is_name: the ``tool`` column already holds the extracted tool
+    NAME (or '' for no call) instead of the raw tool-call JSON — the
+    shuffle-byte-reduced plan shape (see operators.encoding) where the
+    json path extraction happened before the shuffle.
     """
     # Session-robust: naive parquet timestamps arrive as TIMESTAMP_NTZ
     # under a stock session and reject unix_micros/numeric casts.
@@ -91,7 +97,7 @@ def with_turn_features(
             F.last(
                 F.when(
                     F.col("is_tool_call") == 1,
-                    F.get_json_object("tool", "$.name"),
+                    F.col("tool") if tool_is_name else F.get_json_object("tool", "$.name"),
                 ),
                 ignorenulls=True,
             ).over(wcum),

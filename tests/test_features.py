@@ -150,3 +150,52 @@ def test_single_shuffle_for_feature_set(spark, transcripts_small):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"too many shuffles ({n_exchanges}):\n{plan}"
+
+
+def test_encoded_flagship_parity(spark, transcripts_small, tmp_path):
+    """bench.run_flagship_frames (the shuffle-byte-reduced encoded plan:
+    long conv keys, dictionary roles, pre-extracted tool names) must
+    produce value-identical output to the plain un-encoded composition,
+    on BOTH the unsalted and the salted (chunk-seam) paths."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from fluvio_jolt_spark.operators.asof import asof_join
+    from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
+
+    turns, snaps = transcripts_small
+
+    def plain(out_dir):
+        narrow = turns.select("conv_id", "turn_idx", "role", "tool", "ts")
+        feats = with_turn_features(narrow)
+        feats = asof_join(feats, snaps, on="ts", right_on="snap_ts", by="conv_id")
+        payload = jolt_reshape(
+            turns.select("conv_id", "turn_idx", "text"), reference_bench_spec(),
+            columns="text",
+        )
+        payload.join(feats.hint("SHUFFLE_HASH"), ["conv_id", "turn_idx"]).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+    def normalize(path):
+        pdf = spark.read.parquet(path).toPandas()
+        cols = sorted(pdf.columns)
+        return (
+            pdf[cols]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+            .astype(str)
+        )
+
+    plain(str(tmp_path / "plain"))
+    # unsalted path (max conv << 4*chunk_rows)
+    bench.run_flagship_frames(spark, turns, snaps, str(tmp_path / "enc"))
+    a, b = normalize(str(tmp_path / "plain")), normalize(str(tmp_path / "enc"))
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b), (a.compare(b).head() if a.shape == b.shape else (a.shape, b.shape))
+
+    # salted path: tiny chunk_rows forces chunk seams through every conv
+    bench.run_flagship_frames(spark, turns, snaps, str(tmp_path / "enc_salted"), chunk_rows=64)
+    c = normalize(str(tmp_path / "enc_salted"))
+    assert a.equals(c), (a.compare(c).head() if a.shape == c.shape else (a.shape, c.shape))

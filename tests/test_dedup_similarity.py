@@ -311,3 +311,27 @@ def test_md5_families_match_xxhash_structure(spark, docs):
     for _, r in dups.iterrows():
         pair = (min(r.canonical_id, r.doc_id), max(r.canonical_id, r.doc_id))
         assert pair in exact_pairs_a and pair in exact_pairs_b
+
+
+def test_bucket_cap_computes_signatures_once(spark):
+    """The cap's window count must ride the candidate self-join's
+    partitioning, not duplicate the expensive work: in the executed
+    final plan, the minhash signature computation (16 array_min
+    mixes) appears at exactly ONE site — side b of the self-join is a
+    ReusedExchange of side a's shuffle. (Without the cap, AQE may pick
+    a broadcast join that computes signatures on BOTH sides — the
+    capped plan's sharing is strictly better.) Uses the plain parquet
+    table: a union input would show one site per union branch from
+    ordinary project-through-union pushdown, which is orthogonal."""
+    import re
+
+    plain_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = minhash_lsh_candidates(plain_docs, num_hashes=16, bands=8, bucket_cap=64)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the adaptive plan string appends the pre-adaptive "Initial Plan"
+    # section — only the FINAL plan reflects what actually ran
+    final = plan.split("== Initial Plan ==")[0]
+    n_minhash_sites = len(re.findall(r"array_min\(transform", final)) // 16
+    assert n_minhash_sites == 1, final[:2000]
+    assert "ReusedExchange" in final, final[:2000]

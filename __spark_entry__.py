@@ -322,6 +322,40 @@ def _q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile profile (p25/p50/p95) via exact percentile —
+    the oracle-checkable path (DuckDB quantile_cont agrees bit-for-bit
+    after rounding). At 100 TB swap percentile() for
+    percentile_approx() (t-digest sketch: mergeable, one pass, no
+    per-group sort) — same query shape, documented trade."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token document-frequency top-k (the IDF building block):
+    explode DISTINCT tokens per doc → count docs per token →
+    orderBy().limit (TakeOrderedAndProject — per-partition heaps, never
+    a global single-partition window). Map-side partial aggregation
+    makes the count a combine-then-shuffle of (token, partial) pairs —
+    the classic scale shape for heavy-hitter stats."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
 def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
@@ -789,6 +823,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "backfill_backward": _q_backfill_backward,
     "range_frame_10min": _q_range_frame_10min,
     "median_by_type": _q_median_by_type,
+    "latency_quantiles": _q_latency_quantiles,
+    "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
     "image_features": _q_image_features,
@@ -1226,6 +1262,24 @@ def oracle_sql() -> dict[str, str]:
                  round(avg(value), 4) AS mean_value,
                  count(*) AS n
           FROM events GROUP BY event_type
+        """,
+        "latency_quantiles": """
+          SELECT event_type,
+                 round(quantile_cont(value, 0.25), 4) AS p25,
+                 round(quantile_cont(value, 0.5), 4) AS p50,
+                 round(quantile_cont(value, 0.95), 4) AS p95,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type
+        """,
+        "token_doc_freq": """
+          SELECT token, CAST(count(*) AS BIGINT) AS df
+          FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+          )
+          GROUP BY token
+          ORDER BY df DESC, token
+          LIMIT 20
         """,
         "cube_orders": """
           SELECT o_orderstatus, o_orderpriority, count(*) AS n

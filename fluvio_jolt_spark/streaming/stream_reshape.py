@@ -171,6 +171,56 @@ def stream_running_tool_counts(
     )
 
 
+def stream_first_seen_docs(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct document
+    content ONCE, in the first micro-batch where it arrives (the
+    training-ingest shape: a firehose of documents, keep first-seen).
+
+    State is O(1) per distinct content — (count seen), keyed by
+    (xxhash64(text), length) like the batch ``exact_dedup`` (the text
+    itself never enters state). Within the arrival batch the minimum
+    id wins (deterministic given the batch division); later copies
+    only bump the state counter and emit nothing. Use the batch
+    ``exact_dedup`` for retrospective dedup; this operator is its
+    at-ingest streaming complement.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = f"content_hash long, content_len int, {id_col} long"
+    state_schema = "seen long"
+
+    keyed = stream_df.select(
+        F.xxhash64(F.col(text_col)).alias("_h"),
+        F.length(F.col(text_col)).alias("_len"),
+        F.col(id_col),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n_new = 0
+        for pdf in pdfs:
+            if len(pdf):
+                n_new += len(pdf)
+                m = int(pdf[id_col].min())
+                first = m if first is None else min(first, m)
+        state.update((seen + n_new,))
+        if seen == 0 and first is not None:
+            yield pd.DataFrame(
+                {"content_hash": [key[0]], "content_len": [key[1]], id_col: [first]}
+            )
+
+    return keyed.groupBy("_h", "_len").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def stream_asof_enrich(
     stream_df: DataFrame,
     snaps: DataFrame,

@@ -335,3 +335,27 @@ def test_bucket_cap_computes_signatures_once(spark):
     n_minhash_sites = len(re.findall(r"array_min\(transform", final)) // 16
     assert n_minhash_sites == 1, final[:2000]
     assert "ReusedExchange" in final, final[:2000]
+
+
+def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
+    """The documented IVF at-scale layout: vectors written partitioned
+    by ivf_cluster; an nprobe query's cluster filter must prune at the
+    directory level (PartitionFilters on ivf_cluster in the scan), so
+    a probe reads ~nprobe/n_centroids of the data."""
+    cents = ivf_train_centroids(emb, n_centroids=8)
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_vectors")
+    assigned.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+
+    stored = spark.read.parquet(path)
+    pdf = emb.toPandas()
+    query = [float(x) for x in pdf[pdf.vec_id == 11].embedding.iloc[0]]
+    out = ivf_topk(stored, cents, query, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "ivf_cluster" in seg, seg
+    # and the probe still returns sane neighbors
+    got = set(out.toPandas()["vec_id"])
+    exact = set(_numpy_topk(pdf, query, 5))
+    assert len(got & exact) >= 2

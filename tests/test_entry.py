@@ -6,13 +6,16 @@ the CORRECTNESS_r{N} gate."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# override to replicate the driver gate at its own scale:
+#   SPARK_GRAFT_GATE_SF=/root/testdata/sf0.01 pytest tests/test_entry.py
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region",
     "nation",

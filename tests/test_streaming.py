@@ -218,3 +218,39 @@ def test_kafka_reader_fails_fast_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_transcript_kafka_stream(spark, "broker:9092", "turns")
+
+
+def test_stream_first_seen_dedup(spark, tmp_path):
+    """Streaming exact dedup across micro-batches: each distinct
+    content emitted exactly once with the min doc_id of its arrival
+    batch; later copies (same or later batches) emit nothing. Ground
+    truth = batch exact_dedup canonical set."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_first_seen_docs
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+            "text": ["aaa", "bbb", "aaa", "ccc", "bbb", "ddd", "aaa", "eee"],
+        }
+    )
+    src = tmp_path / "docs_stream"
+    # 4 files -> maxFilesPerTrigger=1 gives 4 micro-batches of 2 docs
+    for i in range(4):
+        spark.createDataFrame(pdf.iloc[i * 2 : i * 2 + 2]).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = stream_first_seen_docs(stream)
+    run_stream_to_memory(out, "first_seen", output_mode="update")
+    got = spark.sql("SELECT * FROM first_seen").toPandas()
+    # one emission per distinct content
+    assert len(got) == 5 and got.content_hash.is_unique
+    # first-seen id for every distinct content (files arrive in order)
+    emitted = set(got.doc_id)
+    assert emitted == {0, 1, 3, 5, 7}, emitted

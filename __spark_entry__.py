@@ -356,6 +356,29 @@ def _q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (class balancing for
+    training mixes): per event_type keep the n rows with the smallest
+    md5-derived hash of the row id — a uniform, seedable,
+    order-independent draw that any engine reproduces exactly (the
+    oracle recomputes the identical hash). The per-group window is
+    PARTITIONED (plan-hygiene-safe: no global single-partition sort);
+    at 100 TB the row_number-over-hash scan is one shuffle on the
+    strata key with partial top-n possible via groupBy + min_by
+    variants."""
+    from fluvio_jolt_spark.operators.dedup import md5_60
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        md5_60(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 50)
+        .select("event_id", "event_type", (F.col("_rk") - 1).alias("sample_rank"))
+    )
+
+
 def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
@@ -566,6 +589,34 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=ANN_SEED,
     )
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+ANN_BATCH_PLANES = 6
+ANN_BATCH_K = 5
+ANN_BATCH_NQ = 3  # vec_id < NQ are the query set, the rest the corpus
+
+
+def _q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-k for a whole query SET in one job (broadcast
+    multiprobe buckets, per-query partitioned top-k window). Oracle
+    inlines the plane literals and recomputes with a QUALIFY
+    row_number — fully value-checked."""
+    from fluvio_jolt_spark.operators.similarity import ann_batch_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= ANN_BATCH_NQ)
+    queries = emb.filter(F.col("vec_id") < ANN_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_batch_topk(
+        corpus,
+        queries,
+        k=ANN_BATCH_K,
+        n_planes=ANN_BATCH_PLANES,
+        probe_hamming=1,
+        seed=ANN_SEED,
+    )
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,6 +875,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame_10min": _q_range_frame_10min,
     "median_by_type": _q_median_by_type,
     "latency_quantiles": _q_latency_quantiles,
+    "stratified_sample": _q_stratified_sample,
     "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
@@ -845,6 +897,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": _q_embedding_near_dup,
     "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_batch_topk": _q_ann_batch_topk,
     "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
     "exact_dedup_docs": _q_exact_dedup_docs,
     "near_dup_scaled_docs": _q_near_dup_scaled_docs,
@@ -992,6 +1045,38 @@ def _ann_oracle() -> str:
                   <= {ANN_PROBE_HAMMING}
           ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id
           LIMIT {ANN_K}
+        """
+
+
+def _ann_batch_oracle() -> str:
+    from fluvio_jolt_spark.operators.similarity import _srp_planes
+
+    planes = [
+        [float(x) for x in row]
+        for row in _srp_planes(ANN_DIMS, ANN_BATCH_PLANES, ANN_SEED)
+    ]
+
+    def bucket(vexpr: str) -> str:
+        return _srp_bucket_sql(vexpr, planes)
+
+    return f"""
+          WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                   {bucket('CAST(embedding AS DOUBLE[])')} AS qb
+            FROM embeddings WHERE vec_id < {ANN_BATCH_NQ}
+          ), d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {bucket('CAST(embedding AS DOUBLE[])')} AS b
+            FROM embeddings WHERE vec_id >= {ANN_BATCH_NQ}
+          )
+          SELECT query_id, vec_id,
+                 round(list_cosine_similarity(v, qv), 6) AS cos_sim
+          FROM d, q
+          WHERE bit_count(xor(CAST(b AS BIGINT), CAST(qb AS BIGINT))) <= 1
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+          ) <= {ANN_BATCH_K}
         """
 
 
@@ -1281,6 +1366,20 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY df DESC, token
           LIMIT 20
         """,
+        "stratified_sample": """
+          SELECT event_id, event_type,
+                 CAST(rk - 1 AS INT) AS sample_rank
+          FROM (
+            SELECT event_id, event_type,
+                   row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+                              event_id
+                   ) AS rk
+            FROM events
+          )
+          WHERE rk <= 50
+        """,
         "cube_orders": """
           SELECT o_orderstatus, o_orderpriority, count(*) AS n
           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -1383,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
         "ann_lsh_topk": _ann_oracle(),
+        "ann_batch_topk": _ann_batch_oracle(),
         "image_features": _image_features_oracle(n=48),
         "image_features_real": _image_features_oracle(n=32, real_codecs=True),
         "media_frame_sampling": """

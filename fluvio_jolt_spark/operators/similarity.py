@@ -27,7 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -135,6 +135,76 @@ def lsh_ann_topk(
     bucketed = df.withColumn("_bucket", srp_bucket_col(F.col(vec_col), planes))
     candidates = bucketed.filter(F.col("_bucket").isin(probe))
     return cosine_topk(candidates, query, k, vec_col, id_col)
+
+
+def ann_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k for a BATCH of query vectors in one job — the
+    realistic retrieval shape (embed a query set, probe the corpus
+    once) vs per-query driver loops.
+
+    Plan: SRP-bucket both sides with the same planes; expand each
+    query into its multiprobe bucket set (≤ probe_hamming bit flips)
+    on the SMALL side; broadcast the expanded queries and equi-join on
+    bucket (each data vector has one bucket, so it meets each query at
+    most once — no distinct needed); exact cosine on the surviving
+    pairs; per-query top-k via a PARTITIONED row_number window (never
+    a global sort). At scale with the corpus stored partitioned by
+    bucket, the join's probe side prunes to the probed buckets.
+    """
+    first = queries.select(vec_col).first()
+    dims = len(first[0])
+    planes = _srp_planes(dims, n_planes, seed)
+
+    data = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+        srp_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        srp_bucket_col(F.col(vec_col), planes).alias("_qb"),
+    )
+    probes = [F.col("_qb")]
+    if probe_hamming >= 1:
+        probes += [F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("_qb").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    qx = q.select(
+        query_id_col, "_qv", F.explode(F.array(*probes)).alias("_bucket")
+    )
+    joined = data.join(F.broadcast(qx), "_bucket")
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        (dot / (norm(F.col("_v")) * norm(F.col("_qv")))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def embedding_near_dup(

@@ -776,6 +776,18 @@ def _q_near_dup_scaled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination stage: per eval-doc fraction of distinct word
+    3-grams present anywhere in the train split (doc_id % 20 == 0
+    stands in for the eval set). md5 family → fully SQL-recomputable."""
+    from fluvio_jolt_spark.operators.dedup import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(train, eval_df, shingle_n=3, hash_family="md5")
+
+
 def _q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
@@ -901,6 +913,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
     "exact_dedup_docs": _q_exact_dedup_docs,
     "near_dup_scaled_docs": _q_near_dup_scaled_docs,
+    "contamination_check": _q_contamination_check,
     "jaccard_adjacent_docs": _q_jaccard_adjacent,
     "token_stats": _q_token_stats,
     "quality_score": _q_quality_score,
@@ -1499,6 +1512,32 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
           FROM documents GROUP BY text
+        """,
+        "contamination_check": """
+          WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3
+                        THEN list_distinct(list_transform(
+                               range(1, len(w) - 1),
+                               i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                        ELSE [array_to_string(w, ' ')] END AS shingles
+            FROM w
+          ), tg AS (
+            SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+            FROM (SELECT unnest(shingles) AS g FROM sh WHERE doc_id % 20 != 0)
+          ), eg AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+            FROM (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 20 = 0)
+          )
+          SELECT eg.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN tg.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                 round(CAST(sum(CASE WHEN tg.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS contamination
+          FROM eg LEFT JOIN tg ON eg.gh = tg.gh
+          GROUP BY eg.doc_id
         """,
         "near_dup_scaled_docs": _minhash_oracle(
             num_hashes=16,

@@ -387,6 +387,53 @@ def simhash_candidates(
     return pairs
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Train/eval contamination check (decontamination stage of a
+    training pipeline): for each eval document, the fraction of its
+    distinct word n-grams that occur anywhere in the training corpus.
+    Returns (id, n_grams, n_hit, contamination).
+
+    Scale shape: the train side collapses to DISTINCT n-gram hashes
+    (8-byte keys, partial-agg'd map-side — the corpus text never
+    shuffles); the eval side (orders of magnitude smaller) explodes
+    its grams and LEFT-joins the hash set for per-gram hit flags, then
+    one hash-agg per eval doc. No driver-side state; at 10^12 train
+    grams this is one equi-join on a long key (a bloom-filter
+    pre-pass is a further refinement the plan shape permits).
+
+    hash_family="md5" is the cross-engine-checkable family (the
+    driver oracle recomputes the same 60-bit hashes in SQL)."""
+    gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
+    train_grams = (
+        train.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("_g")
+        )
+        .select(gram_hash(F.col("_g")).alias("_gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    eval_grams = eval_df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
+    ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
+    joined = eval_grams.join(train_grams, "_gh", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("contamination"),
+    )
+
+
 def near_dup_candidates_scaled(
     df: DataFrame,
     text_col: str = "text",

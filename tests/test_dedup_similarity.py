@@ -359,3 +359,30 @@ def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
     got = set(out.toPandas()["vec_id"])
     exact = set(_numpy_topk(pdf, query, 5))
     assert len(got & exact) >= 2
+
+
+def test_ngram_contamination_planted(spark):
+    """Planted ground truth: an eval doc copied verbatim from train
+    reads contamination 1.0; an eval doc with no shared 3-gram reads
+    0.0; a half-overlapping doc lands strictly between."""
+    from fluvio_jolt_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),   # exact copy
+         (101, "completely novel words appear here only zz"),     # disjoint
+         (102, "the quick brown fox ate something else entirely")],  # partial
+        "doc_id long, text string",
+    )
+    out = (
+        ngram_contamination(train, eval_df)
+        .toPandas()
+        .set_index("doc_id")["contamination"]
+    )
+    assert out[100] == 1.0
+    assert out[101] == 0.0
+    assert 0.0 < out[102] < 1.0

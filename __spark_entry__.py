@@ -776,6 +776,41 @@ def _q_near_dup_scaled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pre-scan counts over customer names (the only table
+    with PII-shaped content — 9-digit account-style runs); the planted
+    positive/negative coverage lives in the unit test
+    (test_text_analysis.py)."""
+    from fluvio_jolt_spark.operators.text_analysis import with_pii_scan
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("text")
+    )
+    out = with_pii_scan(cust)
+    return out.select(
+        "c_custkey",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_urls").cast("int").alias("n_urls"),
+        F.col("n_long_digit_runs").cast("int").alias("n_long_digit_runs"),
+        F.col("pii_flag").cast("int").alias("pii_flag"),
+    )
+
+
+MIXTURE_RATES = {"en": 0.6, "de": 0.35, "es": 0.35, "fr": 0.35, "zh": 0.2}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mixing: keep each document with
+    a per-language rate via a pure hash test (md5 family → the oracle
+    recomputes the identical draw). Changing the mixture re-runs only
+    a scan-side filter."""
+    from fluvio_jolt_spark.operators.text_analysis import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_sample(docs, MIXTURE_RATES, class_col="lang", hash_family="md5")
+    return out.select("doc_id", "lang")
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination stage: per eval-doc fraction of distinct word
     3-grams present anywhere in the train split (doc_id % 20 == 0
@@ -914,6 +949,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": _q_exact_dedup_docs,
     "near_dup_scaled_docs": _q_near_dup_scaled_docs,
     "contamination_check": _q_contamination_check,
+    "pii_scan": _q_pii_scan,
+    "mixture_sample": _q_mixture_sample,
     "jaccard_adjacent_docs": _q_jaccard_adjacent,
     "token_stats": _q_token_stats,
     "quality_score": _q_quality_score,
@@ -1512,6 +1549,30 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
           SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
           FROM documents GROUP BY text
+        """,
+        "pii_scan": r"""
+          SELECT c_custkey,
+                 CAST(len(regexp_extract_all(c_name,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(c_name, 'https?://[^\s]+')) AS INT) AS n_urls,
+                 CAST(len(regexp_extract_all(c_name, '[0-9]{7,}')) AS INT) AS n_long_digit_runs,
+                 CAST(CASE WHEN len(regexp_extract_all(c_name,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                        OR len(regexp_extract_all(c_name, 'https?://[^\s]+')) > 0
+                        OR len(regexp_extract_all(c_name, '[0-9]{7,}')) > 0
+                      THEN 1 ELSE 0 END AS INT) AS pii_flag
+          FROM customer
+        """,
+        "mixture_sample": f"""
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {1 << 30}
+                        AS DOUBLE) / {float(1 << 30)} AS u,
+                   CASE lang
+                     {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIXTURE_RATES.items()))}
+                     ELSE 0.0 END AS rate
+            FROM documents
+          ) WHERE u < rate
         """,
         "contamination_check": """
           WITH w AS (

@@ -100,3 +100,64 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", window: int = 64) ->
     return df.withColumn("fingerprint", F.xxhash64(norm)).withColumn(
         "prefix_fingerprint", F.xxhash64(F.substring(norm, 1, window))
     )
+
+
+def with_pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redaction-pipeline pre-scan: per-document counts of common PII
+    surface patterns (emails, URLs, long digit runs standing in for
+    phone/account numbers). Pure Catalyst regexp_count — column-pruned,
+    no shuffle, linear scan; the patterns use the regex subset that
+    Java (Spark) and RE2 (DuckDB/most scanners) interpret identically,
+    so the counts are engine-reproducible. A flagged document would be
+    routed to a redaction stage; here we only count."""
+    def _count(pattern: str):
+        return F.regexp_count(F.col(text_col), F.lit(pattern))
+
+    return (
+        df.withColumn(
+            "n_emails", _count(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        )
+        .withColumn("n_urls", _count(r"https?://[^\s]+"))
+        .withColumn("n_long_digit_runs", _count(r"[0-9]{7,}"))
+        .withColumn(
+            "pii_flag",
+            (
+                (F.col("n_emails") > 0)
+                | (F.col("n_urls") > 0)
+                | (F.col("n_long_digit_runs") > 0)
+            ).cast("int"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: "dict[str, float]",
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted mixture sampling (dataset mixing for
+    training runs): keep each row with probability rates[class] via a
+    pure hash test on the row id — reproducible across runs, engines
+    and partitionings (no RNG state), and exact in expectation per
+    class. hash_family='md5' is the cross-engine-checkable variant.
+
+    At 100 TB this is a scan-side filter (no shuffle); changing the
+    mixture re-runs only the filter, not any upstream stage."""
+    from fluvio_jolt_spark.operators.dedup import md5_60
+
+    h = (
+        md5_60(F.col(id_col).cast("string"))
+        if hash_family == "md5"
+        else F.xxhash64(F.col(id_col))
+    )
+    # uniform in [0,1): low 30 bits of the (non-negative) hash
+    u = F.pmod(h, F.lit(1 << 30)).cast("double") / F.lit(float(1 << 30))
+    rate = None
+    for cls, r in sorted(rates.items()):
+        cond = F.col(class_col) == cls
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None else F.lit(float(default_rate))
+    return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")

@@ -69,3 +69,44 @@ def test_text_ops_are_narrow(spark, docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # no Python UDFs in the hot path
+
+
+def test_pii_scan_planted(spark):
+    """Planted positives/negatives for every pattern class."""
+    from fluvio_jolt_spark.operators.text_analysis import with_pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at alice.smith+work@example.co.uk thanks"),
+            (1, "see https://example.com/a?b=1 and http://x.io"),
+            (2, "card 12345678901234 and phone 5551234567"),
+            (3, "no personal data in this row at all"),
+            (4, "mixed: bob@x.org https://y.z 99999999"),
+        ],
+        "id long, text string",
+    )
+    out = with_pii_scan(df).toPandas().set_index("id")
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "pii_flag"] == 1
+    assert out.loc[1, "n_urls"] == 2 and out.loc[1, "n_emails"] == 0
+    assert out.loc[2, "n_long_digit_runs"] == 2
+    assert out.loc[3, "pii_flag"] == 0
+    assert (
+        out.loc[4, ["n_emails", "n_urls", "n_long_digit_runs"]].tolist() == [1, 1, 1]
+    )
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    """The hash draw is reproducible (same rows across runs and
+    repartitionings) and tracks the requested per-class rates."""
+    from fluvio_jolt_spark.operators.text_analysis import mixture_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    a = mixture_sample(df, rates).toPandas()
+    b = mixture_sample(df.repartition(13), rates).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    frac = a.groupby("lang").size() / 10_000
+    assert abs(frac["en"] - 0.5) < 0.03 and abs(frac["de"] - 0.1) < 0.02

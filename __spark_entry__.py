@@ -356,6 +356,25 @@ def _q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score): group stats via one
+    partial-agg'd groupBy joined back broadcast — two scans, no
+    window sort, the scale shape for trillion-row normalization (a
+    window variant would sort every group)."""
+    ev = _read(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("_mu")) / F.col("_sd"), 4).alias("zscore"),
+        )
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling (class balancing for
     training mixes): per event_type keep the n rows with the smallest
@@ -923,6 +942,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_by_type": _q_median_by_type,
     "latency_quantiles": _q_latency_quantiles,
     "stratified_sample": _q_stratified_sample,
+    "zscore_by_type": _q_zscore_by_type,
     "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
@@ -1415,6 +1435,13 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY token
           ORDER BY df DESC, token
           LIMIT 20
+        """,
+        "zscore_by_type": """
+          SELECT event_id, event_type,
+                 round((value - avg(value) OVER (PARTITION BY event_type))
+                       / stddev_samp(value) OVER (PARTITION BY event_type), 4)
+                   AS zscore
+          FROM events
         """,
         "stratified_sample": """
           SELECT event_id, event_type,

@@ -356,6 +356,33 @@ def _q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): events against ten derived 1-hour
+    audit windows, via the bin-blocking rewrite — a naive BETWEEN
+    predicate would plan as a BroadcastNestedLoopJoin
+    (operators/interval_join.py). Oracle recomputes the windows from
+    the same epoch arithmetic and joins with BETWEEN directly."""
+    from fluvio_jolt_spark.operators.interval_join import interval_join_binned
+
+    ev = _read(spark, sf_dir, "events")
+    base_us = ev.agg(F.unix_micros(F.min("ts"))).first()[0]  # one-row collect
+    hour_us = 3_600 * 1_000_000
+    windows = spark.range(10).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * F.lit(6 * hour_us)).alias(
+            "start"
+        ),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(6 * hour_us) + F.lit(hour_us)
+        ).alias("end"),
+    )
+    j = interval_join_binned(ev, windows, point_col="ts", bin_width_s=3600)
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def _q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature normalization (z-score): group stats via one
     partial-agg'd groupBy joined back broadcast — two scans, no
@@ -943,6 +970,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_quantiles": _q_latency_quantiles,
     "stratified_sample": _q_stratified_sample,
     "zscore_by_type": _q_zscore_by_type,
+    "interval_join_windows": _q_interval_join_windows,
     "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
@@ -1435,6 +1463,20 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY token
           ORDER BY df DESC, token
           LIMIT 20
+        """,
+        "interval_join_windows": """
+          WITH t0 AS (SELECT min(ts) AS t FROM events),
+          w AS (
+            SELECT k AS window_id,
+                   make_timestamp(epoch_us(t) + k * 21600000000) AS s,
+                   make_timestamp(epoch_us(t) + k * 21600000000 + 3600000000) AS e
+            FROM t0, range(10) r(k)
+          )
+          SELECT w.window_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(value), 4) AS sum_value
+          FROM events ev JOIN w ON ev.ts >= w.s AND ev.ts <= w.e
+          GROUP BY w.window_id
         """,
         "zscore_by_type": """
           SELECT event_id, event_type,

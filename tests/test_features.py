@@ -199,3 +199,58 @@ def test_encoded_flagship_parity(spark, transcripts_small, tmp_path):
     bench.run_flagship_frames(spark, turns, snaps, str(tmp_path / "enc_salted"), chunk_rows=64)
     c = normalize(str(tmp_path / "enc_salted"))
     assert a.equals(c), (a.compare(c).head() if a.shape == c.shape else (a.shape, c.shape))
+
+
+def test_interval_join_binned_equivalence_and_plan(spark):
+    """Bin-blocked range join must (a) return exactly the rows the
+    naive BETWEEN predicate returns — including boundary points,
+    intervals spanning many bins, and points in no/two intervals —
+    and (b) plan as an EQUI join: no BroadcastNestedLoopJoin /
+    CartesianProduct anywhere."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.interval_join import interval_join_binned
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": range(6),
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00",  # exactly at a start
+                        "2024-01-01 00:59:59",
+                        "2024-01-01 01:00:00",  # exactly at an end
+                        "2024-01-01 05:30:00",  # inside the long interval only
+                        "2024-01-02 00:00:00",  # in no interval
+                        "2024-01-01 00:30:00",  # in two overlapping intervals
+                    ]
+                ),
+            }
+        )
+    )
+    ivs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iid": [0, 1, 2],
+                "start": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:15:00", "2024-01-01 00:00:00"]
+                ),
+                "end": pd.to_datetime(
+                    ["2024-01-01 01:00:00", "2024-01-01 00:45:00", "2024-01-01 08:00:00"]
+                ),
+            }
+        )
+    )
+    got = interval_join_binned(pts, ivs, point_col="ts", bin_width_s=1800)
+    naive = pts.join(
+        ivs, (pts.ts >= ivs.start) & (pts.ts <= ivs.end)
+    )
+    key = lambda df: sorted((r["pid"], r["iid"]) for r in df.collect())
+    assert key(got) == key(naive)
+    assert (4, 0) not in key(got)  # no-interval point absent
+    assert key(got).count((5, 0)) == 1 and (5, 1) in key(got)  # overlap: both
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan[:1500]
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in naive_plan or "Cartesian" in naive_plan

@@ -356,6 +356,18 @@ def _q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing assignment (pretraining batch
+    packing) over 8 bucket streams with a 512-token budget — md5
+    family, fully recomputed by the oracle."""
+    from fluvio_jolt_spark.operators.text_analysis import pack_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, budget_tokens=512, n_buckets=8, hash_family="md5"
+    )
+
+
 def _q_interval_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (no equi key): events against ten derived 1-hour
     audit windows, via the bin-blocking rewrite — a naive BETWEEN
@@ -971,6 +983,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": _q_stratified_sample,
     "zscore_by_type": _q_zscore_by_type,
     "interval_join_windows": _q_interval_join_windows,
+    "pack_assignments": _q_pack_assignments,
     "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
@@ -1463,6 +1476,26 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY token
           ORDER BY df DESC, token
           LIMIT 20
+        """,
+        "pack_assignments": """
+          WITH keyed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS bucket,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+          )
+          SELECT doc_id, bucket,
+                 CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                      / 512) AS BIGINT) AS pack_id,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+          FROM keyed
         """,
         "interval_join_windows": """
           WITH t0 AS (SELECT min(ts) AS t FROM events),

@@ -8,7 +8,7 @@ over the parquet scan with column pruning (only `text` is read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -161,3 +161,56 @@ def mixture_sample(
         rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
     rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None else F.lit(float(default_rate))
     return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard pretraining
+    batch-packing shape): documents are deterministically ordered into
+    n_buckets independent streams (hash of id), each stream's text is
+    conceptually concatenated, and every document is assigned to the
+    fixed-size token window containing its START offset. Consumers
+    materialize pack p of bucket b by concatenating its docs in order
+    and chunking at the budget boundary (a doc may straddle into the
+    next window — exactly how concat-then-chunk tokenization behaves).
+
+    Returns (id, bucket, pack_id, n_tokens, start_offset).
+
+    Scale shape: one window per bucket stream (PARTITIONED — bucket
+    count bounds the sort width; never a global sort), prefix-sum of
+    token counts, pure arithmetic after. Deterministic across runs,
+    partitionings and engines; hash_family='md5' is the
+    cross-engine-checkable variant (driver oracle)."""
+    from fluvio_jolt_spark.operators.dedup import md5_60
+
+    h = (
+        md5_60(F.col(id_col).cast("string"))
+        if hash_family == "md5"
+        else F.xxhash64(F.col(id_col))
+    )
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    keyed = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return keyed.select(
+        id_col,
+        "bucket",
+        F.floor(start / budget_tokens).cast("long").alias("pack_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+    )

@@ -110,3 +110,26 @@ def test_mixture_sample_deterministic_and_weighted(spark):
     assert sorted(a.doc_id) == sorted(b.doc_id)
     frac = a.groupby("lang").size() / 10_000
     assert abs(frac["en"] - 0.5) < 0.03 and abs(frac["de"] - 0.1) < 0.02
+
+
+def test_pack_documents_invariants(spark):
+    """Packing invariants: per-bucket offsets are a contiguous prefix
+    sum in (hash, id) order; pack_id == start_offset // budget; the
+    assignment is identical under repartitioning."""
+    from fluvio_jolt_spark.operators.text_analysis import pack_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = pack_documents(docs, budget_tokens=256, n_buckets=4).toPandas()
+    b = pack_documents(docs.repartition(11), budget_tokens=256, n_buckets=4).toPandas()
+    key = ["doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    assert (a.pack_id == a.start_offset // 256).all()
+    for _, grp in a.groupby("bucket"):
+        g = grp.sort_values("start_offset")
+        # contiguous: each start = previous start + previous tokens
+        starts = g.start_offset.to_numpy()
+        toks = g.n_tokens.to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + toks[:-1]).all()

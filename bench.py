@@ -60,16 +60,84 @@ def run_flagship(spark, n_turns: int, out_dir: str) -> int:
     return n_turns
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _median_run(fn, runs: int = 3) -> float:
+    """Median of `runs` executions: single-shot per-query numbers on
+    this box track in-session GC/host noise (a 3.6x phantom regression
+    on an unchanged sub-second plan in r3), not the engine."""
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(sorted(ts)[len(ts) // 2], 3)
+
+
+def bench_queries(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
     timings: dict[str, float] = {}
     for name, q in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        df = q(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = _median_run(
+            lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save(),
+            runs,
+        )
     return timings
+
+
+def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
+    """xxhash64 PRODUCTION-family timings for the LSH/dedup pipelines.
+
+    The registry's gate queries run the md5 oracle family (one digest
+    per shingle + rotate/xor mixing) so DuckDB can value-check every
+    candidate pair; the 100-TB path defaults to xxhash64 — the same
+    algorithm with a ~2x cheaper mixer. The md5 lane is the
+    oracle-parity number; THIS lane is what the scale path costs."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from fluvio_jolt_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        near_dup_candidates_scaled,
+        ngram_contamination,
+        simhash,
+        simhash_candidates,
+    )
+
+    docs = em._read(spark, sf_dir, "documents")
+    cap = em.LSH_BUCKET_CAP
+
+    def _lsh_jaccard():
+        cands = minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, hash_family="xxhash64", bucket_cap=cap
+        )
+        return jaccard_verify(cands, docs, threshold=0.5)
+
+    def _contamination():
+        eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+        train = docs.filter(F.col("doc_id") % 20 != 0)
+        return ngram_contamination(train, eval_df, shingle_n=3, hash_family="xxhash64")
+
+    lane = {
+        "minhash_lsh_docs": lambda: minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, hash_family="xxhash64", bucket_cap=cap
+        ),
+        "simhash_docs": lambda: simhash(docs, hash_family="xxhash64"),
+        "simhash_near_dup": lambda: simhash_candidates(
+            docs, max_hamming=3, blocks=4, hash_family="xxhash64", bucket_cap=cap
+        ),
+        "lsh_jaccard_near_dup": _lsh_jaccard,
+        "near_dup_scaled_docs": lambda: near_dup_candidates_scaled(
+            docs, num_hashes=16, bands=8, hash_family="xxhash64", bucket_cap=cap
+        ),
+        "contamination_check": _contamination,
+    }
+    return {
+        name: _median_run(
+            lambda b=build: b().write.format("noop").mode("overwrite").save(), runs
+        )
+        for name, build in lane.items()
+    }
 
 
 def jolt_kernel_us_per_rec(n: int = 30_000) -> float:
@@ -134,6 +202,7 @@ def main() -> None:
         flagship_sec = sorted(runs)[1]
 
     queries = bench_queries(spark, SF_DIR)
+    queries_xxhash = bench_lsh_production_lane(spark, SF_DIR)
     spark.stop()
 
     result = {
@@ -145,7 +214,9 @@ def main() -> None:
         "flagship_runs_sec": [round(s, 3) for s in runs],
         "turns_per_sec": round(n_turns / flagship_sec, 1),
         "jolt_kernel_us_per_rec": round(jolt_kernel_us_per_rec(), 2),
+        "per_query_runs": 3,
         "queries": queries,
+        "queries_xxhash_lane": queries_xxhash,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

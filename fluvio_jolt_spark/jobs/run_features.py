@@ -189,9 +189,18 @@ def _run_bucketed(spark, turns, snaps, spec_json: str, args) -> dict:
         bt.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
     )
     out = jolt_reshape(joined, spec_json, columns="text")
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     out.write.mode("overwrite").parquet(args.out)
+    # Count exchanges from an EXECUTED adaptive plan, not the pre-execution
+    # string: under AQE the final executed plan can differ from the initial
+    # one (and the write action plans separately), so a pre-write snapshot
+    # could misreport the zero-shuffle claim. Executing through this
+    # DataFrame's OWN QueryExecution (never .count(), which builds a new
+    # one) finalizes its AdaptiveSparkPlan; the string then carries the
+    # final plan first with the initial plan after '== Initial Plan =='.
+    qe = out._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    plan = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     n = spark.read.parquet(args.out).count()
     return {
         "job": "run_features",

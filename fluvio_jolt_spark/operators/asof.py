@@ -338,10 +338,22 @@ def asof_join_pandas(
     by: str = "conv_id",
     value_cols: list[str] | None = None,
     strict: bool = False,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
-    """Cross-check variant: cogroup both sides by entity and run
-    ``pd.merge_asof`` per group (applyInPandas over a cogroup). Same
-    output contract as ``asof_join``."""
+    """CROSS-CHECK variant — not a scale path. Cogroups both sides by
+    entity and runs ``pd.merge_asof`` per group (applyInPandas over a
+    cogroup). Same output contract as ``asof_join``; exists to verify
+    the window variants against an independent engine (pandas).
+
+    Do not ship this at scale: every group funnels through ONE Python
+    worker, so a single mega-entity serializes the whole join behind
+    one Arrow batch (measured 10x slower than the union-window variant
+    on uniform data; unboundedly worse under skew). Use ``asof_join``
+    (union-window) or ``asof_join_salted`` (skew-safe) for production.
+    ``max_group_rows`` makes that contract executable: when set, any
+    cogroup whose combined row count exceeds it raises at execution
+    time with a pointer to ``asof_join_salted`` instead of silently
+    stalling a worker."""
     left = ensure_ltz(left, on)
     right = ensure_ltz(right, right_on)
     if value_cols is None:
@@ -356,6 +368,13 @@ def asof_join_pandas(
     left_cols = left.columns
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if max_group_rows is not None and len(lpdf) + len(rpdf) > max_group_rows:
+            raise ValueError(
+                f"asof_join_pandas: cogroup has {len(lpdf) + len(rpdf)} rows "
+                f"(> max_group_rows={max_group_rows}); this cross-check variant "
+                "funnels each entity through one Python worker — use "
+                "asof_join_salted for skewed/large entities"
+            )
         if lpdf.empty:
             return pd.DataFrame(columns=left_cols + value_cols)
         lpdf = lpdf.sort_values(on, kind="mergesort")

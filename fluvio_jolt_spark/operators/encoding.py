@@ -29,20 +29,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def distinct_values(df: DataFrame, col: str) -> list:
+#: tinyint codes are 1-based positions, so 127 values is the hard cap.
+MAX_DICT_SIZE = 127
+
+
+def distinct_values(df: DataFrame, col: str, max_size: int = MAX_DICT_SIZE) -> list:
     """Sorted distinct values of a column — the captured dictionary.
     Partial aggregation makes this a scan-speed pass over one pruned
     column; cardinality must be small enough to collect (caller's
-    contract — role/tool-name style columns)."""
-    return sorted(r[0] for r in df.select(col).distinct().collect() if r[0] is not None)
+    contract — role/tool-name style columns). Raises if the column
+    has more than `max_size` distinct non-NULL values, since such a
+    dictionary could not be tinyint-encoded losslessly."""
+    vals = sorted(
+        r[0] for r in df.select(col).distinct().limit(max_size + 1).collect()
+        if r[0] is not None
+    )
+    if len(vals) > max_size:
+        raise ValueError(
+            f"distinct_values({col!r}): more than {max_size} distinct values — "
+            "column is not low-cardinality enough for tinyint dictionary encoding"
+        )
+    return vals
 
 
-def dict_encode(col, values: list) -> "F.Column":
+def dict_encode(col, values: list, strict: bool = True) -> "F.Column":
     """String → 1-based tinyint position in `values` (NULL stays NULL).
-    Values outside the captured dictionary would encode to 0 — callers
-    that did not capture `values` from the same data must validate."""
+
+    With `strict=True` (default) a non-NULL value outside the captured
+    dictionary raises at execution time instead of silently encoding to
+    0 (which `dict_decode` would then turn into NULL — silent data
+    corruption for callers whose dictionary wasn't captured from the
+    same data). Pass `strict=False` only when the dictionary is
+    guaranteed complete by construction and the extra CASE branch is
+    unwanted in the plan."""
+    if len(values) > MAX_DICT_SIZE:
+        raise ValueError(
+            f"dict_encode: dictionary has {len(values)} entries; tinyint codes "
+            f"support at most {MAX_DICT_SIZE}"
+        )
     arr = F.array(*[F.lit(v) for v in values])
-    return F.array_position(arr, col).cast("tinyint")
+    pos = F.array_position(arr, col).cast("tinyint")
+    if not strict:
+        return pos
+    return (
+        F.when(col.isNull(), F.lit(None).cast("tinyint"))
+        .when(pos != 0, pos)
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("dict_encode: value not in dictionary: "), col)
+            ).cast("tinyint")
+        )
+    )
 
 
 def dict_decode(col, values: list) -> "F.Column":

@@ -46,15 +46,22 @@ def interval_join_binned(
     binning still bounds the per-key candidate set for long intervals.
     """
     by = list(by or [])
-    width = F.lit(int(bin_width_s) * 1_000_000)  # micros
+    width_us = int(bin_width_s) * 1_000_000  # micros
 
-    p_bin = (F.unix_micros(F.col(point_col)) / width).cast("long")
-    i_start_bin = (F.unix_micros(F.col(start_col)) / width).cast("long")
-    i_end_bin = (F.unix_micros(F.col(end_col)) / width).cast("long")
+    def _bin_of(col: str) -> "F.Column":
+        # Exact integer FLOOR division on longs. A double round-trip
+        # (us / width).cast('long') truncates toward zero — pre-epoch
+        # timestamps would collapse bins -0/+0 into one double-width bin
+        # (breaking the documented fan-out bound) and beyond 2^53 us the
+        # double loses integer precision. (us - pmod(us, w)) is an exact
+        # non-negative-remainder multiple of w, so the SQL integral
+        # `div` is exact floor division for every long.
+        us = f"unix_micros({col})"
+        return F.expr(f"(({us} - pmod({us}, {width_us}L)) div {width_us}L)")
 
-    pts = points.withColumn("_bin", p_bin)
+    pts = points.withColumn("_bin", _bin_of(point_col))
     ivs = intervals.withColumn(
-        "_bin", F.explode(F.sequence(i_start_bin, i_end_bin))
+        "_bin", F.explode(F.sequence(_bin_of(start_col), _bin_of(end_col)))
     )
     refine = F.col(point_col) >= F.col(start_col)
     refine &= (

@@ -186,7 +186,20 @@ def pack_documents(
     count bounds the sort width; never a global sort), prefix-sum of
     token counts, pure arithmetic after. Deterministic across runs,
     partitionings and engines; hash_family='md5' is the
-    cross-engine-checkable variant (driver oracle)."""
+    cross-engine-checkable variant (driver oracle).
+
+    Choosing n_buckets: the window sorts only the keyed projection
+    (id, hash, bucket, n_tokens — ~32 B/row), never the text, so the
+    per-bucket sort holds ~32 B x n_docs / n_buckets. Size n_buckets so
+    each bucket stays within one executor's in-memory sort budget
+    (~32M rows ~ 1 GB is comfortable): n_buckets ~ n_docs / 32e6,
+    rounded up to a power of two, floor 64 — see
+    ``suggest_pack_buckets``. At 1e9 docs (a ~100 TB corpus of ~100 KB
+    docs) the default 64 gives ~16M rows ~ 0.5 GB per sort — fine; only
+    short-doc corpora (1e11+ docs) need more buckets. More buckets =
+    more parallelism and smaller sorts at the cost of more partially
+    filled final packs (one per bucket tail); packing quality is
+    otherwise independent of n_buckets."""
     from fluvio_jolt_spark.operators.dedup import md5_60
 
     h = (
@@ -214,3 +227,15 @@ def pack_documents(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         start.cast("long").alias("start_offset"),
     )
+
+
+def suggest_pack_buckets(n_docs: int, target_rows_per_bucket: int = 32_000_000) -> int:
+    """Derive ``pack_documents(n_buckets=...)`` from corpus size: the
+    smallest power of two (floor 64) keeping each bucket's window sort
+    under ``target_rows_per_bucket`` rows of the ~32 B/row keyed
+    projection (~1 GB at the default — comfortably one executor's
+    in-memory sort). See the sizing discussion in ``pack_documents``."""
+    import math
+
+    need = max(1, -(-int(n_docs) // int(target_rows_per_bucket)))  # ceil div
+    return max(64, 1 << math.ceil(math.log2(need)))

@@ -176,6 +176,10 @@ def stream_first_seen_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     timeout: str = "NoTimeout",
+    double_hash: bool = False,
+    ts_col: "str | None" = None,
+    ttl: "str | None" = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming exact deduplication: emit each distinct document
     content ONCE, in the first micro-batch where it arrives (the
@@ -188,6 +192,25 @@ def stream_first_seen_docs(
     only bump the state counter and emit nothing. Use the batch
     ``exact_dedup`` for retrospective dedup; this operator is its
     at-ingest streaming complement.
+
+    Collision contract: dedup identity IS the (64-bit xxhash64, length)
+    pair — a full-key collision silently and permanently suppresses one
+    distinct document, with no verify pass (unlike the LSH pipelines,
+    which verify candidates against real content). Expected collisions
+    over N distinct docs ~ N^2/2^65 per length class: negligible below
+    ~10^8 docs, material at web scale. ``double_hash=True`` adds an
+    independent md5-derived 60-bit hash to the state key (state grows
+    8 B/doc), pushing the collision probability below ~1e-30 at any
+    realistic corpus size; output schema is unchanged.
+
+    State bounding: with ``ttl`` (e.g. ``"2 hours"``) + ``ts_col``, the
+    operator switches to EventTimeTimeout: a content's state entry is
+    evicted once the event-time watermark passes (last-seen ts + ttl).
+    First-seen semantics are exact INSIDE the horizon; a copy arriving
+    after its original's eviction re-emits (bounded-recall dedup — the
+    production knob that keeps state from growing O(#distinct ever)).
+    ``watermark_delay`` is the lateness allowance fed to
+    ``withWatermark`` (pre-watermarked inputs are used as-is).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
@@ -195,30 +218,74 @@ def stream_first_seen_docs(
     out_schema = f"content_hash long, content_len int, {id_col} long"
     state_schema = "seen long"
 
-    keyed = stream_df.select(
+    ttl_ms: "int | None" = None
+    if ttl is not None:
+        if ts_col is None:
+            raise ValueError("ttl requires ts_col (event-time column)")
+        n, unit = ttl.split()
+        ttl_ms = int(n) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit.lower()]
+        timeout = "EventTimeTimeout"
+        if stream_df.isStreaming and not _has_watermark(stream_df):
+            stream_df = stream_df.withWatermark(ts_col, watermark_delay)
+
+    cols = [
         F.xxhash64(F.col(text_col)).alias("_h"),
         F.length(F.col(text_col)).alias("_len"),
         F.col(id_col),
-    )
+    ]
+    key_cols = ["_h", "_len"]
+    if double_hash:
+        from fluvio_jolt_spark.operators.dedup import md5_60
+
+        cols.append(md5_60(F.col(text_col)).alias("_h2"))
+        key_cols.append("_h2")
+    if ttl_ms is not None:
+        cols.append(F.col(ts_col).alias("_ts"))
+
+    keyed = stream_df.select(*cols)
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         seen = state.get[0] if state.exists else 0
         first = None
         n_new = 0
+        max_ts_ms = None
         for pdf in pdfs:
             if len(pdf):
                 n_new += len(pdf)
                 m = int(pdf[id_col].min())
                 first = m if first is None else min(first, m)
+                if ttl_ms is not None:
+                    t = int(pdf["_ts"].max().timestamp() * 1000)
+                    max_ts_ms = t if max_ts_ms is None else max(max_ts_ms, t)
         state.update((seen + n_new,))
+        if ttl_ms is not None and max_ts_ms is not None:
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
         if seen == 0 and first is not None:
             yield pd.DataFrame(
                 {"content_hash": [key[0]], "content_len": [key[1]], id_col: [first]}
             )
 
-    return keyed.groupBy("_h", "_len").applyInPandasWithState(
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _has_watermark(df: DataFrame) -> bool:
+    """True when the streaming DataFrame already carries an event-time
+    watermark (so stream_first_seen_docs won't stack a second one)."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
 
 
 def stream_asof_enrich(

@@ -341,3 +341,30 @@ def test_asof_salted_left_narrow_equivalent(spark, transcripts_small):
     a = {(r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols) for r in base.collect()}
     b = {(r["conv_id"], r["turn_idx"]): tuple(r[c] for c in cols) for r in hinted.collect()}
     assert a == b
+
+
+def test_asof_pandas_group_row_cap(spark):
+    """asof_join_pandas is a cross-check, not a scale path: the
+    max_group_rows guard turns a silently-stalling mega-entity into an
+    execution-time error pointing at asof_join_salted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fluvio_jolt_spark.operators.asof import asof_join_pandas
+
+    left = spark.range(100).select(
+        F.lit("one_entity").alias("conv_id"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("turn_idx"),
+    )
+    right = spark.range(10).select(
+        F.lit("one_entity").alias("conv_id"),
+        F.timestamp_seconds(F.col("id") * 600).alias("snap_ts"),
+        F.col("id").alias("model_version"),
+    )
+    out = asof_join_pandas(left, right, max_group_rows=50)
+    with pytest.raises(Exception, match="asof_join_salted"):
+        out.collect()
+    # generous cap: passes through untouched
+    ok = asof_join_pandas(left, right, max_group_rows=10_000)
+    assert ok.count() == 100

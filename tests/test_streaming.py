@@ -254,3 +254,102 @@ def test_stream_first_seen_dedup(spark, tmp_path):
     # first-seen id for every distinct content (files arrive in order)
     emitted = set(got.doc_id)
     assert emitted == {0, 1, 3, 5, 7}, emitted
+
+
+def test_stream_first_seen_double_hash(spark, tmp_path):
+    """double_hash=True widens the state key with an independent
+    md5-derived hash (collision contract knob) without changing output
+    schema or first-seen semantics."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_first_seen_docs
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+            "text": ["aaa", "bbb", "aaa", "ccc", "bbb", "ddd", "aaa", "eee"],
+        }
+    )
+    src = tmp_path / "docs_stream2"
+    for i in range(4):
+        spark.createDataFrame(pdf.iloc[i * 2 : i * 2 + 2]).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = stream_first_seen_docs(stream, double_hash=True)
+    assert [f.name for f in out.schema.fields] == ["content_hash", "content_len", "doc_id"]
+    run_stream_to_memory(out, "first_seen_dh", output_mode="update")
+    got = spark.sql("SELECT * FROM first_seen_dh").toPandas()
+    assert len(got) == 5 and set(got.doc_id) == {0, 1, 3, 5, 7}
+
+
+def test_stream_first_seen_ttl_eviction(spark, tmp_path):
+    """Event-time TTL bounds dedup state: inside the horizon first-seen
+    semantics are unchanged (in-horizon duplicate suppressed); once the
+    watermark passes last-seen + ttl the entry is evicted, so a later
+    copy re-emits (bounded-recall dedup) and state stays O(live keys),
+    not O(#distinct ever)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_first_seen_docs
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mins(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    batches = [
+        # b1: A and B arrive
+        [(0, "aaa", mins(0)), (1, "bbb", mins(0))],
+        # b2: duplicate A INSIDE the 60-min horizon -> suppressed; C arrives
+        [(2, "aaa", mins(30)), (3, "ccc", mins(30))],
+        # b3: D far in the future; after this batch watermark = mins(240)
+        [(4, "ddd", mins(240))],
+        # b4: watermark (240) > every earlier timeout (A:90, B:60, C:90)
+        # -> A/B/C state evicted this batch; E emits
+        [(5, "eee", mins(245))],
+        # b5: A returns AFTER eviction -> re-emitted with its new id
+        [(6, "aaa", mins(250))],
+    ]
+    src = tmp_path / "docs_ttl"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        ).write.mode("overwrite").parquet(str(src / f"part{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    out = stream_first_seen_docs(stream, ts_col="ts", ttl="60 minutes")
+    ckpt = tmp_path / "ckpt_ttl"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("first_seen_ttl")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM first_seen_ttl").toPandas()
+    # in-horizon duplicate (id 2) suppressed; post-eviction copy (id 6) re-emits
+    assert set(got.doc_id) == {0, 1, 3, 4, 5, 6}, set(got.doc_id)
+    aaa_hash = got.loc[got.doc_id == 0, "content_hash"].iloc[0]
+    assert (got.content_hash == aaa_hash).sum() == 2  # "aaa" emitted twice
+    # state is bounded: evicted keys are gone from the state store
+    # (live = D, E and the re-created A entry; their timers never fired)
+    try:
+        state = (
+            spark.read.format("statestore").load(str(ckpt)).toPandas()
+        )
+    except Exception:
+        state = None  # state reader unavailable for this operator/version
+    if state is not None:
+        assert len(state) == 3, state

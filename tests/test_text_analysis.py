@@ -133,3 +133,40 @@ def test_pack_documents_invariants(spark):
         toks = g.n_tokens.to_numpy()
         assert starts[0] == 0
         assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+
+
+def test_pack_documents_high_bucket_count(spark):
+    """n_buckets is a pure parallelism knob: at 4096 buckets (the
+    short-doc-corpus setting from suggest_pack_buckets) every doc still
+    appears exactly once, total tokens are preserved, offsets stay
+    contiguous prefix sums per bucket, and bucket assignment follows
+    pmod(hash, n_buckets)."""
+    from fluvio_jolt_spark.operators.text_analysis import pack_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = pack_documents(docs, budget_tokens=256, n_buckets=64).toPandas()
+    wide = pack_documents(docs, budget_tokens=256, n_buckets=4096).toPandas()
+    assert len(wide) == len(base) == docs.count()
+    assert wide.doc_id.is_unique
+    # token counts are a property of the doc, not the bucketing
+    assert (
+        wide.set_index("doc_id").n_tokens.sort_index()
+        == base.set_index("doc_id").n_tokens.sort_index()
+    ).all()
+    assert (wide.pack_id == wide.start_offset // 256).all()
+    assert wide.bucket.between(0, 4095).all()
+    for _, grp in wide.groupby("bucket"):
+        g = grp.sort_values("start_offset")
+        starts = g.start_offset.to_numpy()
+        toks = g.n_tokens.to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+
+
+def test_suggest_pack_buckets():
+    from fluvio_jolt_spark.operators.text_analysis import suggest_pack_buckets
+
+    assert suggest_pack_buckets(1_000) == 64
+    assert suggest_pack_buckets(1_000_000_000) == 64  # ~100 TB of 100 KB docs
+    assert suggest_pack_buckets(10_000_000_000) == 512
+    assert suggest_pack_buckets(100_000_000_000) == 4096

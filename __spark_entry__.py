@@ -969,6 +969,63 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
 
 
+def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting for dedup/lineage: hash of the
+    whitespace-normalized content plus a 64-char prefix hash (fast
+    prefix-dup detection). md5 family here so the oracle reproduces
+    both hashes bit-for-bit; production uses xxhash64 (identical plan,
+    cheaper mixer). Pure per-row expressions — pipelines over the
+    column-pruned scan, no shuffle at any scale."""
+    from fluvio_jolt_spark.operators.text_analysis import with_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_fingerprint(docs, hash_family="md5")
+    return out.select("doc_id", "fingerprint", "prefix_fingerprint")
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms (keyword extraction / quality
+    signals): token tf per doc, document frequency per token, score =
+    tf * ln(N/df), top-3 per doc by the rounded score.
+
+    Scale shape: tf and df are partial-agg'd groupBys; the tf-df join
+    shuffles on the token key (vocabulary-sized — NOT broadcast: at
+    corpus scale the vocabulary is huge); the corpus row count N is
+    catalog metadata — one bounded driver-side count-star (parquet
+    footer statistics), folded in as a literal (a lit-keyed 1-row join
+    constant-folds into a BroadcastNestedLoopJoin, which the hygiene
+    gate rightly rejects); the top-3 is a doc-partitioned window,
+    never global. Ranking uses round(score, 4) + lexical tie-break so
+    both engines order identically despite independent libm ln()."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, "tok").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )
+
+
 # Registry order is deliberate: the external correctness gate reads from the
 # FRONT of this dict and checks at most ~50 entries per round.  Queries that
 # have never (or least recently) had an external gate row come first; rows
@@ -979,6 +1036,8 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the tail, where falling out of the window loses no unique coverage.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked before round 4 ---
+    "fingerprint_docs": _q_fingerprint_docs,
+    "tfidf_top_terms": _q_tfidf_top_terms,
     "contamination_check": _q_contamination_check,
     "pii_scan": _q_pii_scan,
     "mixture_sample": _q_mixture_sample,
@@ -1022,16 +1081,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_union": _q_distinct_union,
     "pivot_event_counts": _q_pivot_event_counts,
     "minhash_lsh_docs": _q_minhash_lsh_docs,
-    "simhash_docs": _q_simhash_docs,
     "simhash_near_dup": _q_simhash_near_dup,
     "embedding_near_dup": _q_embedding_near_dup,
     "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_batch_topk": _q_ann_batch_topk,
     "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
-    "exact_dedup_docs": _q_exact_dedup_docs,
     "near_dup_scaled_docs": _q_near_dup_scaled_docs,
-    # --- green in round 3; redundant with an in-window row ---
+    # --- green in round 3; redundant with an in-window row
+    # (simhash_docs is the signature stage inside simhash_near_dup;
+    # exact_dedup_docs is the first stage inside near_dup_scaled_docs) ---
+    "simhash_docs": _q_simhash_docs,
+    "exact_dedup_docs": _q_exact_dedup_docs,
     "jolt_wildcard_props": _q_jolt_wildcard_props,
     "jolt_default_remove": _q_jolt_default_remove,
     "jolt_dollar_at": _q_jolt_dollar_at,
@@ -1499,6 +1560,44 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY token
           ORDER BY df DESC, token
           LIMIT 20
+        """,
+        "fingerprint_docs": """
+          WITH norm AS (
+            SELECT doc_id,
+                   lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+            FROM documents
+          )
+          SELECT doc_id,
+                 ('0x' || substr(md5(n), 1, 15))::BIGINT AS fingerprint,
+                 ('0x' || substr(md5(substr(n, 1, 64)), 1, 15))::BIGINT
+                   AS prefix_fingerprint
+          FROM norm
+        """,
+        "tfidf_top_terms": """
+          WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+          ), tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, tok
+          ), dfreq AS (
+            SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY tok
+          ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+          ), scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4)
+                     AS tfidf
+            FROM tf JOIN dfreq USING (tok), n
+          )
+          SELECT doc_id, tok, tf, df, tfidf, CAST(rk AS INT) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY tfidf DESC, tok
+                   ) AS rk
+            FROM scored
+          )
+          WHERE rk <= 3
         """,
         "pack_assignments": """
           WITH keyed AS (

@@ -92,13 +92,23 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred).withColumn("lang_score", F.round(best, 6))
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text", window: int = 64) -> DataFrame:
-    """Document fingerprint: xxhash64 of the normalized text plus a
-    prefix rolling-window hash (first `window` chars) for fast
-    prefix-dup detection."""
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Document fingerprint: hash of the whitespace-normalized text plus
+    a prefix rolling-window hash (first `window` chars) for fast
+    prefix-dup detection. hash_family='md5' is the cross-engine-
+    checkable variant (driver oracle); xxhash64 is the production
+    default (same plan, cheaper mixer)."""
+    from fluvio_jolt_spark.operators.dedup import md5_60
+
+    h = md5_60 if hash_family == "md5" else F.xxhash64
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    return df.withColumn("fingerprint", F.xxhash64(norm)).withColumn(
-        "prefix_fingerprint", F.xxhash64(F.substring(norm, 1, window))
+    return df.withColumn("fingerprint", h(norm)).withColumn(
+        "prefix_fingerprint", h(F.substring(norm, 1, window))
     )
 
 

@@ -220,6 +220,25 @@ def test_kafka_reader_fails_fast_without_connector(spark):
         read_transcript_kafka_stream(spark, "broker:9092", "turns")
 
 
+def _write_batch_dir(spark, pdf_or_rows, d, seq, schema=None):
+    """One parquet FILE per batch dir with an explicit increasing mtime:
+    the file stream source orders by modification time, so multi-part
+    writes with colliding mtimes make batch order (and therefore
+    first-seen winners / watermark advancement) racy."""
+    import os
+    import time as _time
+
+    df = (
+        spark.createDataFrame(pdf_or_rows, schema)
+        if schema
+        else spark.createDataFrame(pdf_or_rows)
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    base = int(_time.time()) - 3600
+    for f in d.glob("*.parquet"):
+        os.utime(f, (base + seq * 10, base + seq * 10))
+
+
 def test_stream_first_seen_dedup(spark, tmp_path):
     """Streaming exact dedup across micro-batches: each distinct
     content emitted exactly once with the min doc_id of its arrival
@@ -237,10 +256,10 @@ def test_stream_first_seen_dedup(spark, tmp_path):
     )
     src = tmp_path / "docs_stream"
     # 4 files -> maxFilesPerTrigger=1 gives 4 micro-batches of 2 docs
+    # (one file per dir + explicit mtimes pin the batch order the
+    # first-seen-id assertions depend on)
     for i in range(4):
-        spark.createDataFrame(pdf.iloc[i * 2 : i * 2 + 2]).write.mode(
-            "overwrite"
-        ).parquet(str(src / f"part{i}"))
+        _write_batch_dir(spark, pdf.iloc[i * 2 : i * 2 + 2], src / f"part{i}", i)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -272,9 +291,7 @@ def test_stream_first_seen_double_hash(spark, tmp_path):
     )
     src = tmp_path / "docs_stream2"
     for i in range(4):
-        spark.createDataFrame(pdf.iloc[i * 2 : i * 2 + 2]).write.mode(
-            "overwrite"
-        ).parquet(str(src / f"part{i}"))
+        _write_batch_dir(spark, pdf.iloc[i * 2 : i * 2 + 2], src / f"part{i}", i)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -318,10 +335,13 @@ def test_stream_first_seen_ttl_eviction(spark, tmp_path):
         [(6, "aaa", mins(250))],
     ]
     src = tmp_path / "docs_ttl"
+    # ordered single-file batches: a low-ts file processed after the
+    # watermark advanced would be dropped as late data
     for i, rows in enumerate(batches):
-        spark.createDataFrame(
-            rows, "doc_id long, text string, ts timestamp"
-        ).write.mode("overwrite").parquet(str(src / f"part{i}"))
+        _write_batch_dir(
+            spark, rows, src / f"part{i}", i,
+            schema="doc_id long, text string, ts timestamp",
+        )
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
         .option("maxFilesPerTrigger", 1)

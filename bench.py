@@ -421,7 +421,12 @@ def run_flagship_frames(
     narrow = turns.select(
         conv_key(_F.col("conv_id")).alias("conv_id"),
         "turn_idx",
-        dict_encode(_F.col("role"), roles).alias("role"),
+        # strict=False is safe here BY CONSTRUCTION: `roles` is captured
+        # from this very table (distinct_values above / caller contract),
+        # so no value can be out-of-dictionary — skip the guard CASE in
+        # the hottest map stage. External data goes through
+        # jobs/run_features.py, which does not use this encoding.
+        dict_encode(_F.col("role"), roles, strict=False).alias("role"),
         _F.when(
             _F.col("tool").isNotNull() & (_F.col("tool") != ""),
             _F.coalesce(_F.get_json_object("tool", "$.name"), _F.lit("")),

@@ -66,6 +66,15 @@ def main(argv=None) -> int:
         "tables (a STATIC conf — only effective when this job creates "
         "the session)",
     )
+    p.add_argument(
+        "--no-plan-verify",
+        action="store_true",
+        help="bucketed layout: skip the zero-exchange verification pass. "
+        "Verifying counts exchanges from an EXECUTED adaptive plan, which "
+        "re-runs the pipeline once — fine at validation scale, wasteful "
+        "on a production-size input (the report then carries "
+        "exchanges=null).",
+    )
     args = p.parse_args(argv)
 
     from fluvio_jolt_spark.operators.asof import asof_join
@@ -197,10 +206,15 @@ def _run_bucketed(spark, turns, snaps, spec_json: str, args) -> dict:
     # DataFrame's OWN QueryExecution (never .count(), which builds a new
     # one) finalizes its AdaptiveSparkPlan; the string then carries the
     # final plan first with the initial plan after '== Initial Plan =='.
-    qe = out._jdf.queryExecution()
-    qe.executedPlan().execute().count()
-    plan = qe.executedPlan().toString().split("== Initial Plan ==")[0]
-    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    # The verification pass re-runs the pipeline once — skippable at
+    # production scale via --no-plan-verify.
+    exchanges = bucketed_scans = None
+    if not args.no_plan_verify:
+        qe = out._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        plan = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+        exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        bucketed_scans = plan.count("Bucketed: true")
     n = spark.read.parquet(args.out).count()
     return {
         "job": "run_features",
@@ -208,7 +222,7 @@ def _run_bucketed(spark, turns, snaps, spec_json: str, args) -> dict:
         "n_buckets": args.buckets,
         "rows": n,
         "exchanges": exchanges,
-        "bucketed_scans": plan.count("Bucketed: true"),
+        "bucketed_scans": bucketed_scans,
         "elapsed_s": round(_time.time() - t0, 3),
     }
 

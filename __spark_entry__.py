@@ -969,6 +969,32 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(20)
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction over REAL RIFF/WAVE PCM-16
+    byte streams (pure-numpy codec — audio's PPM): decode + DSP
+    (rms/peak/zero-cross) run Arrow-batched in mapInPandas; the oracle
+    precomputes expected rows with the same pure function over the
+    same deterministic integer-synthesized clips (golden VALUES — the
+    payload-byte-dependent query class SQL cannot recompute).
+    Completes the multimodal matrix: image (fake + real codecs), video
+    (frame sampling), audio (real codec)."""
+    from fluvio_jolt_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_wav_media,
+    )
+
+    out = extract_audio_features(synth_wav_media(spark, n=24))
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+    )
+
+
 def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting for dedup/lineage: hash of the
     whitespace-normalized content plus a 64-char prefix hash (fast
@@ -1036,6 +1062,7 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the tail, where falling out of the window loses no unique coverage.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked before round 4 ---
+    "audio_features": _q_audio_features,
     "fingerprint_docs": _q_fingerprint_docs,
     "tfidf_top_terms": _q_tfidf_top_terms,
     "contamination_check": _q_contamination_check,
@@ -1070,7 +1097,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
-    "image_features": _q_image_features,
     "image_features_real": _q_image_features_real,
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
@@ -1090,9 +1116,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_scaled_docs": _q_near_dup_scaled_docs,
     # --- green in round 3; redundant with an in-window row
     # (simhash_docs is the signature stage inside simhash_near_dup;
-    # exact_dedup_docs is the first stage inside near_dup_scaled_docs) ---
+    # exact_dedup_docs is the first stage inside near_dup_scaled_docs;
+    # image_features is the fake-codec variant of the same mapInPandas
+    # stage image_features_real drives through real byte streams) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
+    "image_features": _q_image_features,
     "jolt_wildcard_props": _q_jolt_wildcard_props,
     "jolt_default_remove": _q_jolt_default_remove,
     "jolt_dollar_at": _q_jolt_dollar_at,
@@ -1366,6 +1395,34 @@ def _lsh_jaccard_oracle(threshold: float = 0.5) -> str:
           JOIN sh2 b ON b.doc_id = c.id_b
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+        """
+
+
+def _audio_features_oracle(n: int = 24) -> str:
+    """Expected audio features as a VALUES literal, computed locally by
+    the SAME pure decode+DSP function the distributed stage runs over
+    the same deterministic WAV byte streams (golden-fixture oracle for
+    the payload-byte-dependent query)."""
+    from fluvio_jolt_spark.operators.multimodal import (
+        audio_feature_row,
+        synth_wav_media_rows,
+    )
+
+    cols = synth_wav_media_rows(n=n)
+    rows = [
+        audio_feature_row(mid, payload)
+        for mid, payload in zip(cols["media_id"], cols["payload"])
+    ]
+    values = ",\n            ".join(
+        f"({mid}, {sr}::INT, {ch}::INT, {ns}::BIGINT, {round(rms, 6)!r}::DOUBLE, "
+        f"{round(peak, 6)!r}::DOUBLE, {round(zc, 6)!r}::DOUBLE)"
+        for mid, sr, ch, ns, rms, peak, zc in rows
+    )
+    return f"""
+          SELECT * FROM (VALUES
+            {values}
+          ) t(media_id, sample_rate, n_channels, n_samples, rms, peak,
+              zero_cross_rate)
         """
 
 
@@ -1758,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_oracle(),
         "ann_batch_topk": _ann_batch_oracle(),
         "image_features": _image_features_oracle(n=48),
+        "audio_features": _audio_features_oracle(n=24),
         "image_features_real": _image_features_oracle(n=32, real_codecs=True),
         "media_frame_sampling": """
           WITH media AS (

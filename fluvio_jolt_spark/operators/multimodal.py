@@ -296,6 +296,152 @@ def extract_image_features(
     return images.mapInPandas(feats, schema=out_schema)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE PCM 16-bit from an (n_samples, n_channels) int16 array
+    — a real, public, uncompressed audio format, pure bytes+numpy
+    (audio's PPM: no codec library needed)."""
+    assert samples.dtype == np.int16 and samples.ndim == 2
+    n, ch = samples.shape
+    data = samples.tobytes()  # interleaved little-endian, as stored
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode RIFF/WAVE PCM 16-bit to ((n_samples, n_channels) int16,
+    sample_rate). Walks the chunk list (fmt /data in any order, unknown
+    chunks skipped, word-aligned) like any spec-compliant reader."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM 16-bit supported (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * ch)) * ch)
+    return samples.reshape(-1, ch), sample_rate
+
+
+def synth_wav_media_rows(n: int = 24, seed: int = 42) -> dict:
+    """Deterministic REAL-format audio table: integer sawtooth + seeded
+    blake2b noise, encoded to actual RIFF/WAVE PCM-16 byte streams
+    (mono/stereo, 8/16 kHz). Integer-only synthesis — no
+    transcendentals — so the Spark stage and the local oracle reference
+    compute bit-identical samples. Shared by the Spark table builder
+    and the driver oracle."""
+    cols: dict = {k: [] for k in
+                  ("media_id", "kind", "mime", "width", "height", "duration_ms", "payload")}
+    for i in range(n):
+        sr = 8000 if i % 2 == 0 else 16000
+        ch = 1 + (i % 3 == 0)
+        dur_ms = 200 + (i % 5) * 100
+        n_samp = sr * dur_ms // 1000
+        period = 40 + 10 * (i % 7)
+        t = np.arange(n_samp, dtype=np.int64)
+        saw = ((t % period) * (20000 // period) - 10000).astype(np.int64)
+        raw = hashlib.blake2b(f"wav:{seed}:{i}".encode(), digest_size=8).digest()
+        noise = np.frombuffer((raw * (n_samp * 2 // 8 + 1))[: n_samp * 2], dtype="<i2")
+        mono = np.clip(saw + noise.astype(np.int64) // 8, -32768, 32767).astype(np.int16)
+        samples = np.stack([mono] * ch, axis=1) if ch > 1 else mono[:, None]
+        if ch == 2:  # decorrelate the channels deterministically
+            samples = samples.copy()
+            samples[:, 1] = np.roll(mono, period // 2)
+        cols["media_id"].append(i)
+        cols["kind"].append("audio")
+        cols["mime"].append("audio/wav")
+        cols["width"].append(None)
+        cols["height"].append(None)
+        cols["duration_ms"].append(dur_ms)
+        cols["payload"].append(encode_wav(samples, sr))
+    return cols
+
+
+def synth_wav_media(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Spark frame of the real WAV rows (Arrow path, see synth_media)."""
+    import pyarrow as pa
+
+    cols = synth_wav_media_rows(n, seed)
+    table = pa.table(
+        {
+            "media_id": pa.array(cols["media_id"], pa.int64()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "mime": pa.array(cols["mime"], pa.string()),
+            "width": pa.array(cols["width"], pa.int32()),
+            "height": pa.array(cols["height"], pa.int32()),
+            "duration_ms": pa.array(cols["duration_ms"], pa.int32()),
+            "payload": pa.array(cols["payload"], pa.binary()),
+        }
+    )
+    return spark.createDataFrame(table, MEDIA_SCHEMA)
+
+
+def audio_feature_row(media_id: int, payload: bytes) -> tuple:
+    """Per-clip audio features from the decoded PCM — pure function
+    shared by the distributed mapInPandas stage and the local oracle
+    reference: (media_id, sample_rate, n_channels, n_samples, rms,
+    peak, zero_cross_rate). rms/peak over [-1, 1]-normalized samples;
+    zero-cross rate = mean over channels of sign-change fraction."""
+    samples, sr = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    signs = np.sign(x)
+    signs[signs == 0] = 1.0
+    zc = float((signs[1:] != signs[:-1]).mean()) if len(x) > 1 else 0.0
+    return (
+        int(media_id),
+        int(sr),
+        int(samples.shape[1]),
+        int(samples.shape[0]),
+        float(np.sqrt((x * x).mean())),
+        float(np.abs(x).max()),
+        zc,
+    )
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-clip audio features via Arrow-batched mapInPandas over the
+    REAL WAV codec (decode + numpy DSP stay inside the batch; only
+    kind=='audio' rows are read, and only id+payload columns — scan
+    pruning as for the image stage)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("peak", T.DoubleType(), True),
+            T.StructField("zero_cross_rate", T.DoubleType(), True),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                audio_feature_row(int(mid), bytes(payload))
+                for mid, payload in zip(pdf["media_id"], pdf[payload_col])
+            ]
+            yield pd.DataFrame(recs, columns=names)
+
+    clips = df.filter(F.col("kind") == "audio").select("media_id", payload_col)
+    return clips.mapInPandas(feats, schema=out_schema)
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 500, payload_col: str = "payload"
 ) -> DataFrame:

@@ -208,3 +208,73 @@ def test_decode_image_dispatch():
     if not has_pil:
         with _pytest.raises(NotImplementedError, match="PPM"):
             decode_image(b"\x89PNG\r\n\x1a\nfakefakefake")
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """RIFF/WAVE PCM-16 codec: encode->decode is identity (mono and
+    stereo), unknown chunks are skipped with word alignment, and
+    non-PCM formats raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fluvio_jolt_spark.operators.multimodal import decode_wav, encode_wav
+
+    mono = (np.arange(100, dtype=np.int16) * 300 - 15000)[:, None]
+    out, sr = decode_wav(encode_wav(mono, 8000))
+    assert sr == 8000 and (out == mono).all()
+
+    stereo = np.stack([mono[:, 0], -mono[:, 0]], axis=1).astype(np.int16)
+    out, sr = decode_wav(encode_wav(stereo, 16000))
+    assert sr == 16000 and out.shape == (100, 2) and (out == stereo).all()
+
+    # splice an odd-sized unknown chunk between fmt and data: a
+    # spec-compliant reader skips it (word-aligned) and still decodes
+    raw = encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # pad byte
+    spliced = raw[:fmt_end] + junk + raw[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, sr = decode_wav(spliced)
+    assert (out == mono).all()
+
+    bad = bytearray(encode_wav(mono, 8000))
+    bad[20] = 3  # audio_format = IEEE float
+    with _pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_audio_features_distributed(spark):
+    """The distributed WAV decode+DSP stage equals the local pure
+    function over the same real byte streams (the audio analogue of the
+    real-codec image test)."""
+    from fluvio_jolt_spark.operators.multimodal import (
+        audio_feature_row,
+        extract_audio_features,
+        synth_wav_media,
+        synth_wav_media_rows,
+    )
+
+    got = (
+        extract_audio_features(synth_wav_media(spark, n=24))
+        .orderBy("media_id")
+        .toPandas()
+    )
+    cols = synth_wav_media_rows(n=24)
+    want = [
+        audio_feature_row(mid, p)
+        for mid, p in zip(cols["media_id"], cols["payload"])
+    ]
+    assert len(got) == len(want) == 24
+    for row, (mid, sr, ch, ns, rms, peak, zc) in zip(
+        got.itertuples(index=False), want
+    ):
+        assert (row.media_id, row.sample_rate, row.n_channels, row.n_samples) == (
+            mid, sr, ch, ns,
+        )
+        assert abs(row.rms - rms) < 1e-12 and abs(row.zero_cross_rate - zc) < 1e-12
+    # the synth table exercises both channel counts and sample rates
+    assert set(got.n_channels) == {1, 2} and set(got.sample_rate) == {8000, 16000}

@@ -72,9 +72,35 @@ def _median_run(fn, runs: int = 3) -> float:
     return round(sorted(ts)[len(ts) // 2], 3)
 
 
+def _warm_query_session(spark, sf_dir: str) -> None:
+    """Untimed session warm-up before the per-query loop.
+
+    r4 lesson: the first queries of a fresh session read 2–5x worse on
+    unchanged plans (JVM JIT, Python worker pool spawn, cold page cache
+    for the parquet inputs) — per-query medians can't cancel a cost
+    that the whole front of the registry pays once. Warm the shared
+    state explicitly: fault every input table into the page cache, run
+    one window query (codegen path) and one mapInPandas query (worker
+    pool), all results discarded."""
+    import __spark_entry__ as entry_mod
+
+    for tbl in ("documents", "embeddings", "events", "orders", "lineitem",
+                "customer", "nation", "region", "part", "supplier"):
+        try:
+            entry_mod._read(spark, sf_dir, tbl).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # table absent at this sf — nothing to warm
+    qs = entry_mod.queries()
+    for name in ("sessionize", "jolt_shift_props"):
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
 def bench_queries(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
+    _warm_query_session(spark, sf_dir)
     timings: dict[str, float] = {}
     for name, q in entry_mod.queries().items():
         timings[name] = _median_run(

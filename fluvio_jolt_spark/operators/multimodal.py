@@ -445,9 +445,12 @@ def extract_audio_features(
 def sample_video_frames(
     df: DataFrame, every_ms: int = 500, payload_col: str = "payload"
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame with a
-    frame index and byte-offset (decode stubbed — offsets computed from
-    metadata only, so the binary column is NOT read: column pruning)."""
+    """Metadata-only frame-sampling PLANNER: one output row per sampled
+    frame from duration/rate metadata alone, so the binary column is
+    NOT read (column pruning — at scale this prices a sampling job
+    before paying decode). The real-decode sibling is
+    ``extract_video_frame_features``, which reads actual Y4M frame
+    bytes for the sampled frames."""
     vids = df.filter(F.col("kind") == "video").select("media_id", "duration_ms")
     idx = F.sequence(F.lit(0), F.floor(F.col("duration_ms") / every_ms).cast("int"))
     return vids.select(
@@ -455,6 +458,259 @@ def sample_video_frames(
         F.explode(idx).alias("frame_no"),
         (F.col("frame_no") * every_ms).alias("frame_ts_ms"),
     )
+
+
+def encode_y4m(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    fps: "tuple[int, int]" = (25, 1),
+    colorspace: str = "C420jpeg",
+) -> bytes:
+    """YUV4MPEG2 (Y4M) encoder — the public uncompressed video
+    container (mjpegtools): a one-line ASCII stream header
+    (``YUV4MPEG2 W.. H.. F..:.. Ip A1:1 C..``), then per frame a
+    ``FRAME`` line followed by raw planar YCbCr bytes. Video's PPM:
+    real byte streams, pure bytes+numpy, no codec library.
+
+    ``y`` is (n_frames, H, W) uint8; ``u``/``v`` are (n_frames, H/2,
+    W/2) for C420* layouts and (n_frames, H, W) for C444."""
+    assert y.dtype == np.uint8 and y.ndim == 3
+    n, h, w = y.shape
+    if colorspace.startswith("C420"):
+        assert u.shape == v.shape == (n, h // 2, w // 2)
+    elif colorspace == "C444":
+        assert u.shape == v.shape == (n, h, w)
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    header = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    ).encode("ascii")
+    parts = [header]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(y[f].tobytes())
+        parts.append(u[f].tobytes())
+        parts.append(v[f].tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(
+    payload: bytes,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, int, int, str]":
+    """Decode a YUV4MPEG2 stream to (y, u, v, fps_num, fps_den,
+    colorspace); plane arrays are uint8 with shapes as in
+    ``encode_y4m``. Walks the stream like a spec-compliant reader:
+    tagged stream-header params in any order (unknown X tags skipped),
+    per-frame FRAME lines may carry their own (ignored) params,
+    colorspace defaults to C420jpeg when absent."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", errors="replace").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps_num, fps_den = 30, 1
+    colorspace = "C420jpeg"
+    for tag in header[1:]:
+        if not tag:
+            continue
+        key, val = tag[0], tag[1:]
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "F":
+            a, b = val.split(":")
+            fps_num, fps_den = int(a), int(b)
+        elif key == "C":
+            colorspace = tag
+        # I (interlace), A (aspect), X (comment): no effect on planes
+    if w is None or h is None:
+        raise ValueError("missing W/H in stream header")
+    if colorspace.startswith("C420"):
+        cw, ch = w // 2, h // 2
+    elif colorspace == "C422":
+        cw, ch = w // 2, h
+    elif colorspace == "C444":
+        cw, ch = w, h
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    frame_bytes = w * h + 2 * cw * ch
+    ys, us, vs = [], [], []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed frame header")
+        pos = fnl + 1
+        raw = payload[pos : pos + frame_bytes]
+        if len(raw) < frame_bytes:
+            raise ValueError("truncated frame data")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        ys.append(arr[: w * h].reshape(h, w))
+        us.append(arr[w * h : w * h + cw * ch].reshape(ch, cw))
+        vs.append(arr[w * h + cw * ch :].reshape(ch, cw))
+        pos += frame_bytes
+    return (
+        np.stack(ys),
+        np.stack(us),
+        np.stack(vs),
+        fps_num,
+        fps_den,
+        colorspace,
+    )
+
+
+def synth_y4m_media_rows(n: int = 16, seed: int = 42) -> dict:
+    """Deterministic REAL-format video table: per clip a horizontal
+    gradient + a moving bright square + seeded blake2b noise, encoded
+    to actual YUV4MPEG2 byte streams (C420jpeg and C444 layouts, 25/1
+    and 30000/1001 frame rates). Integer-only synthesis, so the Spark
+    stage and the local oracle reference decode bit-identical planes.
+    Shared by the Spark table builder and the driver oracle."""
+    cols: dict = {k: [] for k in
+                  ("media_id", "kind", "mime", "width", "height", "duration_ms", "payload")}
+    for i in range(n):
+        w = 16 + 8 * (i % 3)          # 16 / 24 / 32
+        h = 8 + 4 * (i % 2)           # 8 / 12 (even, for 420 chroma)
+        fps = (25, 1) if i % 2 == 0 else (30000, 1001)
+        n_frames = 3 + i % 5
+        colorspace = "C420jpeg" if i % 3 != 2 else "C444"
+        grad = (np.arange(w, dtype=np.int32) * 255) // max(w - 1, 1)
+        raw = hashlib.blake2b(f"y4m:{seed}:{i}".encode(), digest_size=8).digest()
+        nbytes = n_frames * h * w
+        noise = np.frombuffer((raw * (nbytes // 8 + 1))[:nbytes], dtype=np.uint8)
+        noise = noise.reshape(n_frames, h, w).astype(np.int32) // 16
+        ys = np.empty((n_frames, h, w), dtype=np.uint8)
+        for f in range(n_frames):
+            frame = np.broadcast_to(grad, (h, w)).astype(np.int32) + noise[f]
+            bx = (f * 3) % max(w - 4, 1)
+            by = (f * 2) % max(h - 4, 1)
+            frame = frame.copy()
+            frame[by : by + 4, bx : bx + 4] = 200
+            ys[f] = np.clip(frame, 0, 255).astype(np.uint8)
+        cw, ch = (w // 2, h // 2) if colorspace.startswith("C420") else (w, h)
+        us = np.empty((n_frames, ch, cw), dtype=np.uint8)
+        vs = np.empty((n_frames, ch, cw), dtype=np.uint8)
+        for f in range(n_frames):
+            us[f] = np.uint8((128 + 7 * f + i) % 256)
+            vs[f] = np.uint8((128 - 5 * f + 2 * i) % 256)
+        payload = encode_y4m(ys, us, vs, fps=fps, colorspace=colorspace)
+        cols["media_id"].append(i)
+        cols["kind"].append("video")
+        cols["mime"].append("video/x-yuv4mpeg")
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["duration_ms"].append(n_frames * 1000 * fps[1] // fps[0])
+        cols["payload"].append(payload)
+    return cols
+
+
+def synth_y4m_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Spark frame of the real Y4M rows (Arrow path, see synth_media)."""
+    import pyarrow as pa
+
+    cols = synth_y4m_media_rows(n, seed)
+    table = pa.table(
+        {
+            "media_id": pa.array(cols["media_id"], pa.int64()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "mime": pa.array(cols["mime"], pa.string()),
+            "width": pa.array(cols["width"], pa.int32()),
+            "height": pa.array(cols["height"], pa.int32()),
+            "duration_ms": pa.array(cols["duration_ms"], pa.int32()),
+            "payload": pa.array(cols["payload"], pa.binary()),
+        }
+    )
+    return spark.createDataFrame(table, MEDIA_SCHEMA)
+
+
+def sample_frame_indices(
+    n_frames: int, fps_num: int, fps_den: int, every_ms: int
+) -> "list[int]":
+    """Deterministic integer frame sampling: at each every_ms tick take
+    the frame on screen at that instant (idx = ts*num // (1000*den)),
+    deduped — the shared arithmetic for the metadata-only planner and
+    the real decode stage."""
+    idxs: list[int] = []
+    j = 0
+    while True:
+        idx = (j * every_ms * fps_num) // (1000 * fps_den)
+        if idx >= n_frames:
+            return idxs
+        if not idxs or idx != idxs[-1]:
+            idxs.append(idx)
+        j += 1
+
+
+def video_frame_feature_rows(
+    media_id: int, payload: bytes, every_ms: int = 80
+) -> "list[tuple]":
+    """Per-sampled-frame video features from REAL decoded Y4M planes —
+    pure function shared by the distributed mapInPandas stage and the
+    local oracle reference. One row per sampled frame: (media_id,
+    frame_no, frame_ts_ms, width, height, n_frames, mean_y, std_y,
+    mean_u, mean_v, motion), motion = mean |Y - prev sampled Y| (NULL
+    on the first sampled frame)."""
+    y, u, v, num, den, _cs = decode_y4m(payload)
+    n_frames, h, w = y.shape
+    rows: list[tuple] = []
+    prev: "np.ndarray | None" = None
+    for idx in sample_frame_indices(n_frames, num, den, every_ms):
+        yf = y[idx].astype(np.float64)
+        motion = None if prev is None else float(np.abs(yf - prev).mean())
+        rows.append(
+            (
+                int(media_id),
+                int(idx),
+                int(idx * 1000 * den // num),
+                int(w),
+                int(h),
+                int(n_frames),
+                float(yf.mean()),
+                float(yf.std()),
+                float(u[idx].astype(np.float64).mean()),
+                float(v[idx].astype(np.float64).mean()),
+                motion,
+            )
+        )
+        prev = yf
+    return rows
+
+
+def extract_video_frame_features(
+    df: DataFrame, every_ms: int = 80, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling + per-frame features via Arrow-batched
+    mapInPandas over the REAL Y4M codec (decode + numpy stats stay
+    inside the batch; only kind=='video' rows, only id+payload columns
+    — same scan-pruning shape as the image/audio stages)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame_ts_ms", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("mean_y", T.DoubleType(), True),
+            T.StructField("std_y", T.DoubleType(), True),
+            T.StructField("mean_u", T.DoubleType(), True),
+            T.StructField("mean_v", T.DoubleType(), True),
+            T.StructField("motion", T.DoubleType(), True),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                recs.extend(video_frame_feature_rows(int(mid), bytes(payload), every_ms))
+            yield pd.DataFrame(recs, columns=names)
+
+    vids = df.filter(F.col("kind") == "video").select("media_id", payload_col)
+    return vids.mapInPandas(feats, schema=out_schema)
 
 
 def repartition_by_bytes(

@@ -278,3 +278,95 @@ def test_audio_features_distributed(spark):
         assert abs(row.rms - rms) < 1e-12 and abs(row.zero_cross_rate - zc) < 1e-12
     # the synth table exercises both channel counts and sample rates
     assert set(got.n_channels) == {1, 2} and set(got.sample_rate) == {8000, 16000}
+
+
+def test_y4m_roundtrip_and_header_forms():
+    """YUV4MPEG2 codec: encode->decode is identity for C420 and C444,
+    tagged header params parse in any order with unknown X tags
+    skipped, colorspace defaults to C420jpeg, and malformed streams
+    raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fluvio_jolt_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(7)
+    for cs, cdiv in (("C420jpeg", 2), ("C444", 1)):
+        y = rng.integers(0, 256, (3, 12, 16), dtype=np.uint8)
+        u = rng.integers(0, 256, (3, 12 // cdiv, 16 // cdiv), dtype=np.uint8)
+        v = rng.integers(0, 256, (3, 12 // cdiv, 16 // cdiv), dtype=np.uint8)
+        y2, u2, v2, num, den, cs2 = decode_y4m(
+            encode_y4m(y, u, v, fps=(30000, 1001), colorspace=cs)
+        )
+        assert (y2 == y).all() and (u2 == u).all() and (v2 == v).all()
+        assert (num, den, cs2) == (30000, 1001, cs)
+
+    # reordered tags + unknown X tag + implicit default colorspace
+    y = rng.integers(0, 256, (2, 4, 6), dtype=np.uint8)
+    u = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    v = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    raw = encode_y4m(y, u, v, fps=(25, 1))
+    body = raw[raw.index(b"\n") + 1 :]
+    reordered = b"YUV4MPEG2 XYSCSS=420JPEG F25:1 H4 W6 Ip\n" + body
+    y2, u2, v2, num, den, cs2 = decode_y4m(reordered)
+    assert (y2 == y).all() and (u2 == u).all() and cs2 == "C420jpeg"
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF" + b"\x00" * 16 + b"\n")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(raw[:-5])
+    with _pytest.raises(ValueError, match="frame header"):
+        decode_y4m(raw[: raw.index(b"\n") + 1] + b"FRAMX\n" + body[6:])
+
+
+def test_frame_sampling_grid_deterministic():
+    """sample_frame_indices: integer tick arithmetic, deduped, bounded
+    by n_frames, exact for both the 25/1 and 30000/1001 rates."""
+    from fluvio_jolt_spark.operators.multimodal import sample_frame_indices
+
+    # 25 fps, 80ms ticks -> frame on screen every 2nd frame
+    assert sample_frame_indices(7, 25, 1, 80) == [0, 2, 4, 6]
+    # NTSC rate: idx = (j*80*30000) // (1000*1001)
+    assert sample_frame_indices(8, 30000, 1001, 80) == [0, 2, 4, 7]
+    # ticks denser than frames dedupe to every frame
+    assert sample_frame_indices(3, 25, 1, 10) == [0, 1, 2]
+    assert sample_frame_indices(0, 25, 1, 80) == []
+
+
+def test_video_frame_features_distributed(spark):
+    """The distributed Y4M decode+stats stage equals the local pure
+    function over the same real byte streams (the video analogue of
+    the real-codec image/audio tests), and the synth table exercises
+    both chroma layouts and frame rates."""
+    from fluvio_jolt_spark.operators.multimodal import (
+        decode_y4m,
+        extract_video_frame_features,
+        synth_y4m_media,
+        synth_y4m_media_rows,
+        video_frame_feature_rows,
+    )
+
+    got = (
+        extract_video_frame_features(synth_y4m_media(spark, n=16), every_ms=80)
+        .orderBy("media_id", "frame_no")
+        .toPandas()
+    )
+    cols = synth_y4m_media_rows(n=16)
+    want = []
+    layouts, rates = set(), set()
+    for mid, p in zip(cols["media_id"], cols["payload"]):
+        want.extend(video_frame_feature_rows(mid, p, every_ms=80))
+        _y, _u, _v, num, den, cs = decode_y4m(p)
+        layouts.add(cs)
+        rates.add((num, den))
+    assert len(got) == len(want) > 16
+    for row, exp in zip(got.itertuples(index=False), want):
+        assert (row.media_id, row.frame_no, row.frame_ts_ms) == exp[:3]
+        assert (row.width, row.height, row.n_frames) == exp[3:6]
+        for g, w in zip((row.mean_y, row.std_y, row.mean_u, row.mean_v), exp[6:10]):
+            assert abs(g - w) < 1e-12
+        if exp[10] is None:
+            assert row.motion != row.motion  # NaN in pandas for NULL
+        else:
+            assert abs(row.motion - exp[10]) < 1e-12
+    assert layouts == {"C420jpeg", "C444"} and rates == {(25, 1), (30000, 1001)}

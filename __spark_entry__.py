@@ -891,15 +891,22 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination stage: per eval-doc fraction of distinct word
-    3-grams present anywhere in the train split (doc_id % 20 == 0
-    stands in for the eval set). md5 family → fully SQL-recomputable."""
+    """Decontamination stage: per eval-doc fraction of word 3-grams
+    present anywhere in the train split (doc_id % 20 == 0 stands in
+    for the eval set), with the distributed BLOOM pre-pass on: definite
+    non-member grams skip the exact join. The md5 family makes the
+    exact join SQL-recomputable; the oracle needs no bloom arithmetic
+    because a bloom has no false negatives and false positives are
+    caught by the exact join — output is bit-identical bloom on/off
+    (pinned in tests/test_dedup_similarity.py)."""
     from fluvio_jolt_spark.operators.dedup import ngram_contamination
 
     docs = _read(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
-    return ngram_contamination(train, eval_df, shingle_n=3, hash_family="md5")
+    return ngram_contamination(
+        train, eval_df, shingle_n=3, hash_family="md5", bloom_bits=1 << 22
+    )
 
 
 def _q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -142,7 +142,9 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
     def _contamination():
         eval_df = docs.filter(F.col("doc_id") % 20 == 0)
         train = docs.filter(F.col("doc_id") % 20 != 0)
-        return ngram_contamination(train, eval_df, shingle_n=3, hash_family="xxhash64")
+        return ngram_contamination(
+            train, eval_df, shingle_n=3, hash_family="xxhash64", bloom_bits=1 << 22
+        )
 
     lane = {
         "minhash_lsh_docs": lambda: minhash_lsh_candidates(

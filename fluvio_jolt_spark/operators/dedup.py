@@ -387,6 +387,77 @@ def simhash_candidates(
     return pairs
 
 
+def _bloom_positions(gh: "F.Column", n_bits: int, k: int) -> "list[F.Column]":
+    """k bloom bit positions for a 64-bit gram hash: independent
+    xxhash64 remixes (seeded by member index) reduced mod n_bits.
+    Shared by the build side and the probe side — same arithmetic, no
+    false negatives possible."""
+    return [F.pmod(F.xxhash64(F.lit(i), gh), F.lit(n_bits)) for i in range(k)]
+
+
+def build_gram_bloom(
+    train_grams: DataFrame, n_bits: int = 1 << 22, k: int = 2
+) -> DataFrame:
+    """Distributed bloom filter over a column of gram hashes ``_gh``:
+    each hash sets k bits; bits pack into 64-bit words via a bit_or
+    hash-aggregate. Output is the SPARSE word table (word_idx, word) —
+    at most n_bits/64 rows regardless of corpus size, partial-agg'd
+    map-side so the 10^12-gram build shuffles only (word_idx, word)
+    pairs, never grams."""
+    pos = F.explode(F.array(*_bloom_positions(F.col("_gh"), n_bits, k))).alias("_pos")
+    return (
+        train_grams.select(pos)
+        .select(
+            F.shiftright(F.col("_pos"), 6).alias("word_idx"),
+            # python-side shiftleft requires a literal shift count; the
+            # SQL form takes a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_maybe_contains(
+    grams: DataFrame, bloom_words: DataFrame, n_bits: int, k: int
+) -> DataFrame:
+    """Append ``_maybe`` to a frame with a ``_gh`` hash column: true iff
+    ALL k bloom bits are set (possible member), false = definite
+    non-member. Row-preserving (duplicate grams stay duplicated): one
+    broadcast left-join of the sparse word table per bloom member —
+    k is small (2-4), and each join is against the SAME broadcast
+    relation. The word table is n_bits/64 longs — a size a deployment
+    chooses; beyond broadcast range the hint drops to a shuffled hash
+    join on word_idx with the same semantics."""
+    out = grams
+    set_flags = []
+    for i, pos in enumerate(_bloom_positions(F.col("_gh"), n_bits, k)):
+        widx, word = f"_widx{i}", f"_word{i}"
+        out = out.withColumn(f"_pos{i}", pos).withColumn(
+            widx, F.shiftright(F.col(f"_pos{i}"), 6)
+        )
+        words_i = bloom_words.select(
+            F.col("word_idx").alias(widx + "_r"), F.col("word").alias(word)
+        )
+        out = out.join(
+            F.broadcast(words_i), out[widx] == words_i[widx + "_r"], "left"
+        )
+        set_flags.append(
+            F.expr(
+                f"shiftright({word}, CAST(_pos{i} % 64 AS INT)) & 1"
+            )
+            == 1
+        )
+    maybe = set_flags[0]
+    for flag in set_flags[1:]:
+        maybe = maybe & flag
+    out = out.withColumn("_maybe", F.coalesce(maybe, F.lit(False)))
+    drop = [c for i in range(k) for c in (f"_pos{i}", f"_widx{i}", f"_widx{i}_r", f"_word{i}")]
+    return out.drop(*drop)
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,
@@ -394,19 +465,28 @@ def ngram_contamination(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    bloom_bits: "int | None" = 1 << 22,
+    bloom_k: int = 2,
 ) -> DataFrame:
     """Train/eval contamination check (decontamination stage of a
     training pipeline): for each eval document, the fraction of its
-    distinct word n-grams that occur anywhere in the training corpus.
+    word n-grams that occur anywhere in the training corpus.
     Returns (id, n_grams, n_hit, contamination).
 
     Scale shape: the train side collapses to DISTINCT n-gram hashes
     (8-byte keys, partial-agg'd map-side — the corpus text never
-    shuffles); the eval side (orders of magnitude smaller) explodes
-    its grams and LEFT-joins the hash set for per-gram hit flags, then
-    one hash-agg per eval doc. No driver-side state; at 10^12 train
-    grams this is one equi-join on a long key (a bloom-filter
-    pre-pass is a further refinement the plan shape permits).
+    shuffles); a BLOOM FILTER over the train gram hashes (built
+    distributed: k xxhash64 remixes -> bit_or word aggregate; in a
+    real decontamination deployment it is built once per corpus and
+    reused across eval sets) pre-screens the eval grams so definite
+    non-members skip the exact join entirely; surviving grams
+    LEFT-join the train hash set for exact per-gram hit flags, then
+    one hash-agg per eval doc. Bloom false positives are caught by the
+    exact join and a bloom has no false negatives, so the output is
+    bit-identical with the pre-pass on or off (bloom_bits=None)
+    — which is also why the md5-family driver oracle needs no bloom
+    arithmetic. Size bloom_bits at ~10-16 bits per expected distinct
+    train gram for a useful false-positive rate.
 
     hash_family="md5" is the cross-engine-checkable family (the
     driver oracle recomputes the same 60-bit hashes in SQL)."""
@@ -422,7 +502,21 @@ def ngram_contamination(
     eval_grams = eval_df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
     ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
-    joined = eval_grams.join(train_grams, "_gh", "left")
+
+    if bloom_bits is not None:
+        bloom = build_gram_bloom(
+            train_grams.select("_gh"), n_bits=bloom_bits, k=bloom_k
+        )
+        flagged = bloom_maybe_contains(eval_grams, bloom, bloom_bits, bloom_k)
+        survivors = flagged.filter(F.col("_maybe")).drop("_maybe")
+        pruned = (
+            flagged.filter(~F.col("_maybe"))
+            .drop("_maybe")
+            .withColumn("_hit", F.lit(None).cast("int"))
+        )
+        joined = survivors.join(train_grams, "_gh", "left").unionByName(pruned)
+    else:
+        joined = eval_grams.join(train_grams, "_gh", "left")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),

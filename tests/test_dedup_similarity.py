@@ -386,3 +386,51 @@ def test_ngram_contamination_planted(spark):
     assert out[100] == 1.0
     assert out[101] == 0.0
     assert 0.0 < out[102] < 1.0
+
+
+def test_ngram_contamination_bloom_parity(spark, docs):
+    """The bloom pre-pass is output-invariant: bloom on (even absurdly
+    small, forcing many false positives) equals bloom off bit-for-bit,
+    in both hash families, with duplicate grams preserved in n_grams."""
+    from fluvio_jolt_spark.operators.dedup import ngram_contamination
+
+    eval_df = docs.filter(F.col("doc_id") % 5 == 0)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    for fam in ("xxhash64", "md5"):
+        base = (
+            ngram_contamination(train, eval_df, hash_family=fam, bloom_bits=None)
+            .orderBy("doc_id")
+            .collect()
+        )
+        for bits in (1 << 10, 1 << 20):  # tiny -> mostly false positives
+            got = (
+                ngram_contamination(train, eval_df, hash_family=fam, bloom_bits=bits)
+                .orderBy("doc_id")
+                .collect()
+            )
+            assert got == base, (fam, bits)
+
+
+def test_ngram_contamination_bloom_no_false_negatives(spark):
+    """Planted exact-copy eval doc still reads contamination 1.0 with
+    the bloom on (a bloom can only over-admit, never drop a member),
+    and the executed plan contains the bloom build (bit_or aggregate)
+    plus broadcast probes."""
+    from fluvio_jolt_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "nothing here overlaps with training text")],
+        "doc_id long, text string",
+    )
+    df = ngram_contamination(train, eval_df, bloom_bits=1 << 16)
+    out = df.toPandas().set_index("doc_id")
+    assert out.loc[100, "contamination"] == 1.0
+    assert out.loc[101, "n_hit"] == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in plan and "BroadcastHashJoin" in plan

@@ -407,6 +407,17 @@ def run_flagship_frames(
     spark, turns, snaps, out_dir: str, chunk_rows: int = 8192,
     roles: "list[str] | None" = None, max_conv: "int | None" = None,
 ) -> None:
+    """Build the flagship frame and write it to parquet (see
+    build_flagship_frame for the plan shape)."""
+    build_flagship_frame(
+        spark, turns, snaps, chunk_rows=chunk_rows, roles=roles, max_conv=max_conv
+    ).write.mode("overwrite").parquet(out_dir)
+
+
+def build_flagship_frame(
+    spark, turns, snaps, chunk_rows: int = 8192,
+    roles: "list[str] | None" = None, max_conv: "int | None" = None,
+):
     """run_flagship body over pre-loaded DataFrames (shared by the
     single-process and multi-JVM benches).
 
@@ -466,27 +477,42 @@ def run_flagship_frames(
         max_conv = (
             narrow.groupBy("conv_id").count().agg(_F.max("count")).collect()[0][0] or 0
         )
+    # r5 plan shape: the as-of fill runs over a 3-COLUMN projection
+    # (conv_id, turn_idx, ts ≈ 20 B/row) instead of the full feature
+    # frame, and its result joins back in the SAME (conv_id, turn_idx)
+    # shuffle stage the payload join already pays for. r4's stage
+    # decomposition showed the old composition (asof over the wide
+    # feature frame) shuffled the ~15-column feature rows TWICE — once
+    # for the as-of union-window, once for the payload join — and that
+    # second wide exchange was the 8-core critical path (stage
+    # efficiency 0.45). Now the feature frame shuffles exactly once.
+    # Value-identical by construction: the fill per (conv_id, turn_idx)
+    # doesn't depend on the feature columns (parity test pins it).
+    asof_left = narrow.select("conv_id", "turn_idx", "ts")
     if max_conv > 4 * chunk_rows:
         feats = with_turn_features_salted(narrow, chunk_rows=chunk_rows, tool_is_name=True)
-        # left_narrow: chunk-range metadata from the cheap scan, not
-        # from a re-run of the whole feature subtree (row-equivalent)
-        feats = asof_join_salted(
-            feats, snaps_enc, on="ts", right_on="snap_ts", by="conv_id",
-            chunk_rows=chunk_rows, left_narrow=narrow,
+        asofn = asof_join_salted(
+            asof_left, snaps_enc, on="ts", right_on="snap_ts", by="conv_id",
+            chunk_rows=chunk_rows,
         )
     else:
         feats = with_turn_features(narrow, tool_is_name=True)
-        feats = asof_join(feats, snaps_enc, on="ts", right_on="snap_ts", by="conv_id")
+        asofn = asof_join(asof_left, snaps_enc, on="ts", right_on="snap_ts", by="conv_id")
+    snap_cols = [c for c in asofn.columns if c not in ("conv_id", "turn_idx", "ts")]
+    asofn = asofn.select(
+        _F.col("conv_id").alias("_ck"), "turn_idx", *snap_cols
+    )
     payload = jolt_reshape(
         turns.select("conv_id", "turn_idx", "text", "tool"),
         reference_bench_spec(),
         columns="text",
     ).withColumn("_ck", conv_key(_F.col("conv_id")))
     feats = feats.drop("tool").withColumnRenamed("conv_id", "_ck")
-    out = payload.join(feats.hint("SHUFFLE_HASH"), ["_ck", "turn_idx"]).drop("_ck")
+    enriched = feats.join(asofn.hint("SHUFFLE_HASH"), ["_ck", "turn_idx"])
+    out = payload.join(enriched.hint("SHUFFLE_HASH"), ["_ck", "turn_idx"]).drop("_ck")
     for c in ("role", "prev_role", "lead_role"):
         out = out.withColumn(c, dict_decode(_F.col(c), roles))
-    out.write.mode("overwrite").parquet(out_dir)
+    return out
 
 
 def _platform_ceiling(cores_list) -> dict:

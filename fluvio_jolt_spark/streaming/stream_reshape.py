@@ -231,6 +231,21 @@ def stream_first_seen_docs(
             "day": 86_400_000, "days": 86_400_000,
         }[unit.lower()]
         timeout = "EventTimeTimeout"
+        # TTL epoch math requires a UTC session: applyInPandasWithState
+        # delivers tz-NAIVE timestamps rendered in spark.sql.session.timeZone,
+        # and pandas Timestamp.timestamp() interprets naive values as UTC —
+        # under any other session zone the computed eviction horizon would
+        # silently skew by the zone offset (and can trip Spark's
+        # timeout-before-watermark check). The repo's build_session pins
+        # UTC; this is the guard for externally built sessions.
+        session_tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                "stream_first_seen_docs(ttl=...) requires "
+                f"spark.sql.session.timeZone=UTC (got {session_tz!r}): the "
+                "event-time timeout epoch is computed from tz-naive state "
+                "timestamps interpreted as UTC"
+            )
         if stream_df.isStreaming and not _has_watermark(stream_df):
             stream_df = stream_df.withWatermark(ts_col, watermark_delay)
 

@@ -373,3 +373,27 @@ def test_stream_first_seen_ttl_eviction(spark, tmp_path):
         state = None  # state reader unavailable for this operator/version
     if state is not None:
         assert len(state) == 3, state
+
+
+def test_stream_first_seen_ttl_requires_utc_session(spark, tmp_path):
+    """ttl epoch math interprets tz-naive state timestamps as UTC, so a
+    non-UTC session must be rejected up front instead of silently
+    skewing the eviction horizon (ADVICE r4)."""
+    import pytest as _pytest
+
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_first_seen_docs
+
+    df = spark.createDataFrame(
+        [(1, "a", __import__("datetime").datetime(2024, 1, 1))],
+        "doc_id long, text string, ts timestamp",
+    )
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with _pytest.raises(ValueError, match="timeZone=UTC"):
+            stream_first_seen_docs(df, ttl="1 hour", ts_col="ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    # UTC session: constructing the operator succeeds
+    out = stream_first_seen_docs(df, ttl="1 hour", ts_col="ts")
+    assert "content_hash" in out.columns

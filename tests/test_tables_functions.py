@@ -193,3 +193,47 @@ def test_run_features_bucketed_layout_zero_exchange(spark, tmp_path):
     assert report["rows"] == got.count() == 3000
     for col in ("conv_id", "turn_idx", "session_id", "attr_value", "text_reshaped"):
         assert col in got.columns, got.columns
+
+
+def test_run_features_auto_layout_selects_by_scale(spark, tmp_path):
+    """--layout=auto (the default) picks the zero-exchange bucketed
+    pipeline at/above the row threshold and the checkpointed pipeline
+    below it, and reports the decision."""
+    import json
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+
+    res = subprocess.run(
+        [
+            sys.executable, "fluvio_jolt_spark/jobs/run_features.py",
+            "--turns", "synthetic:2000",
+            "--out", str(tmp_path / "auto_big"),
+            "--buckets", "8",
+            "--layout", "auto",
+            "--bucketed-threshold", "1000",   # 2000 rows >= 1000 -> bucketed
+            "--warehouse", str(tmp_path / "wh"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["layout"] == "bucketed"
+    assert report["exchanges"] == 0
+    assert report["layout_auto"].startswith("rows=2000>=")
+    assert report["plan_verify_provenance"]
+
+    res = subprocess.run(
+        [
+            sys.executable, "fluvio_jolt_spark/jobs/run_features.py",
+            "--turns", "synthetic:2000",
+            "--out", str(tmp_path / "auto_small"),
+            "--buckets", "4",
+            # default threshold (2M) -> checkpointed below it
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report.get("layout") != "bucketed"
+    assert report["layout_auto"].startswith("rows=2000<")

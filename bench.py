@@ -168,6 +168,95 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
     }
 
 
+def flagship_bucketed_lane(n_turns: int, cores: int = None, runs: int = 3) -> dict:
+    """The flagship's AT-SCALE lane: the zero-exchange job over
+    co-bucketed tables (the run_features --layout=bucketed plan — what
+    --layout=auto selects above its size threshold, and the headline
+    scaling lane since r5). Table prep (bucketing) is untimed ingest;
+    one fresh JVM with its own /dev/shm warehouse runs a full-size
+    warm-up then `runs` timed executions, median reported."""
+    cores = cores or CPUS
+    wh = f"/dev/shm/fjs-bench-bkt-wh-{n_turns}" if os.path.isdir("/dev/shm") \
+        else os.path.join(tempfile.gettempdir(), f"fjs-bench-bkt-wh-{n_turns}")
+    scratch = wh + "-scratch"
+    n_buckets = 16
+    code = f"""
+import sys, time, shutil, json
+from pathlib import Path
+sys.path.insert(0, {str(REPO)!r})
+from fluvio_jolt_spark.plans.session import build_session
+from fluvio_jolt_spark.operators.asof import asof_join_bucketed
+from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
+from fluvio_jolt_spark.operators.window_features import with_turn_features
+from fluvio_jolt_spark.sources.tables import BucketedTableSource
+from fluvio_jolt_spark.sources.transcripts import read_transcripts
+
+spark = build_session(app_name="fjs-bench-bkt", master="local[{cores}]",
+                      shuffle_partitions={cores},
+                      extra_conf={{"spark.sql.warehouse.dir": {wh!r},
+                                   "spark.local.dir": {scratch!r} + "/local"}})
+done = Path({wh!r}) / "_PREP_DONE"
+if not done.exists():
+    turns, snaps = read_transcripts(spark, n_turns={n_turns})
+    src = BucketedTableSource(n_buckets={n_buckets}, bucket_col="conv_id")
+    for name in ("fjs_bkt_turns", "fjs_bkt_snaps"):
+        spark.sql(f"DROP TABLE IF EXISTS {{name}}")
+    src.write(turns, "fjs_bkt_turns")
+    src.write(snaps, "fjs_bkt_snaps")
+    done.touch()
+else:
+    for name in ("fjs_bkt_turns", "fjs_bkt_snaps"):
+        path = {wh!r} + "/" + name
+        sch = spark.read.parquet(path).schema
+        ddl = ", ".join(f"`{{f.name}}` {{f.dataType.simpleString()}}" for f in sch)
+        spark.sql(
+            f"CREATE TABLE {{name}} ({{ddl}}) USING parquet "
+            f"CLUSTERED BY (conv_id) SORTED BY (conv_id) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{{path}}'")
+spec_json = reference_bench_spec()
+
+def build():
+    bt = spark.table("fjs_bkt_turns")
+    bs = spark.table("fjs_bkt_snaps")
+    feats = with_turn_features(
+        bt.select("conv_id", "turn_idx", "role", "tool", "ts"), session_gap_s=1800)
+    feats = asof_join_bucketed(feats, bs, on="ts", right_on="snap_ts",
+                               by="conv_id", key_cols=("turn_idx",))
+    joined = feats.join(bt.select("conv_id", "turn_idx", "text"),
+                        ["conv_id", "turn_idx"])
+    return jolt_reshape(joined, spec_json, columns="text")
+
+def run(tag):
+    build().write.mode("overwrite").parquet({scratch!r} + "/out_" + tag)
+    shutil.rmtree({scratch!r} + "/out_" + tag, ignore_errors=True)
+
+run("warm")
+times = []
+for i in range({runs}):
+    t0 = time.perf_counter()
+    run(f"t{{i}}")
+    times.append(time.perf_counter() - t0)
+print("TIMES", json.dumps(times))
+spark.stop()
+"""
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, cwd=str(REPO))
+    times = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("TIMES"):
+            times = json.loads(line[6:])
+    if times is None:
+        raise RuntimeError(f"bucketed flagship lane failed:\n"
+                           f"{proc.stdout[-800:]}\n{proc.stderr[-1500:]}")
+    med = sorted(times)[len(times) // 2]
+    return {
+        "runs_sec": [round(t, 3) for t in times],
+        "median_sec": round(med, 3),
+        "turns_per_sec": round(n_turns / med, 1),
+        "n_buckets": n_buckets,
+    }
+
+
 def jolt_kernel_us_per_rec(n: int = 30_000) -> float:
     """Single-thread Jolt reshape microbenchmark (loads+transform+dumps
     of the reference bench record through the reference bench spec)."""
@@ -246,6 +335,14 @@ def main() -> None:
         "queries": queries,
         "queries_xxhash_lane": queries_xxhash,
     }
+
+    # The at-scale lane: zero-exchange job over co-bucketed tables (what
+    # run_features --layout=auto selects above its threshold; the
+    # headline SCALING lane since r5 — see BENCH/BASELINE.md)
+    try:
+        result["flagship_bucketed"] = flagship_bucketed_lane(n_turns)
+    except RuntimeError as exc:  # report, don't sink the whole bench
+        result["flagship_bucketed"] = {"error": str(exc)[:500]}
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         result["scaling"] = scaling_runs(n_turns)

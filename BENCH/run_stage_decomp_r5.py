@@ -111,9 +111,12 @@ def run(df, tag):
         df.write.format("noop").mode("overwrite").save()
 
 run(build(), "warm")  # full-size warm-up: same AQE/codegen plan
-t0 = time.perf_counter()
-run(build(), "timed")
-print("ELAPSED", time.perf_counter() - t0)
+times = []
+for i in range(3):  # median-of-3: single-shot stage numbers track host
+    t0 = time.perf_counter()  # noise spikes on this box (r4 lesson)
+    run(build(), f"timed{{i}}")
+    times.append(time.perf_counter() - t0)
+print("ELAPSED", sorted(times)[1])
 spark.stop()
 """
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]

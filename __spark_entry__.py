@@ -323,6 +323,35 @@ def _q_range_frame_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed running activity per user (tau = 1
+    day): decayed event count and decayed value sum at every event —
+    the classic recency feature. O(n) per partition via the anchored
+    exp factorization in operators.window_features.with_decayed_sum
+    (the naive definition is O(n^2)); both lanes share one window
+    partitioning, so the whole feature is a single sort+window stage.
+    Oracle recomputes the identical factorization; round(.,4) absorbs
+    libm last-ulp exp() differences between engines."""
+    from fluvio_jolt_spark.operators.window_features import with_decayed_sum
+
+    ev = _read(spark, sf_dir, "events")
+    tau = 86_400.0
+    out = with_decayed_sum(
+        ev, tau_s=tau, value_col="value", partition_cols=("user_id",),
+        out_col="decayed_value",
+    )
+    out = with_decayed_sum(
+        out, tau_s=tau, value_col=None, partition_cols=("user_id",),
+        out_col="decayed_count",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("decayed_value", 4).alias("decayed_value"),
+        F.round("decayed_count", 4).alias("decayed_count"),
+    )
+
+
 def _q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -955,6 +984,24 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality features
+    (duplicated-word and duplicated-3-gram fractions) via
+    operators.text_analysis.with_repetition_stats — pure per-row array
+    expressions, map-only scan, zero shuffle. Oracle rebuilds the
+    n-gram lists with list_transform; ratios are exact int/int doubles
+    so round(.,4) is deterministic across engines."""
+    from fluvio_jolt_spark.operators.text_analysis import with_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_repetition_stats(docs, n=3)
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 4).alias("dup_word_frac"),
+        F.round("dup_3gram_frac", 4).alias("dup_3gram_frac"),
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1105,12 +1152,14 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 62-query registry,
-# 12 queries sit out each round and re-enter the window the next round, so
+# block rotates to the tail.  With a 50-row window over a 64-query registry,
+# 14 queries sit out each round and re-enter the window the next round, so
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
     "video_features": _q_video_features,
+    "decayed_activity": _q_decayed_activity,
+    "repetition_stats": _q_repetition_stats,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1161,10 +1210,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_batch_topk": _q_ann_batch_topk,
-    "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
-    "near_dup_scaled_docs": _q_near_dup_scaled_docs,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
+    "near_dup_scaled_docs": _q_near_dup_scaled_docs,
     "audio_features": _q_audio_features,
     "fingerprint_docs": _q_fingerprint_docs,
     "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1675,6 +1724,25 @@ def oracle_sql() -> dict[str, str]:
                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS value_10min
           FROM events
         """,
+        "decayed_activity": """
+          WITH e AS (
+            SELECT event_id, user_id, value,
+                   epoch_us(ts) / 1000000.0 AS ep,
+                   min(epoch_us(ts) / 1000000.0)
+                     OVER (PARTITION BY user_id) AS base
+            FROM events
+          )
+          SELECT event_id, user_id,
+                 round(exp((base - ep) / 86400.0) *
+                       sum(value * exp((ep - base) / 86400.0))
+                         OVER (PARTITION BY user_id ORDER BY ep),
+                       4) AS decayed_value,
+                 round(exp((base - ep) / 86400.0) *
+                       sum(exp((ep - base) / 86400.0))
+                         OVER (PARTITION BY user_id ORDER BY ep),
+                       4) AS decayed_count
+          FROM e
+        """,
         "median_by_type": """
           SELECT event_type,
                  round(quantile_cont(value, 0.5), 4) AS median_value,
@@ -1993,6 +2061,26 @@ def oracle_sql() -> dict[str, str]:
                  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
                  length(text) AS n_chars_actual
           FROM documents
+        """,
+        "repetition_stats": """
+          WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          ), g AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 3 THEN
+                     list_transform(range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                   ELSE [] END AS grams
+            FROM t
+          )
+          SELECT doc_id,
+                 round(CASE WHEN len(toks) > 0 THEN
+                   1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                 END, 4) AS dup_word_frac,
+                 round(CASE WHEN len(grams) > 0 THEN
+                   1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                 END, 4) AS dup_3gram_frac
+          FROM g
         """,
         "quality_score": """
           SELECT doc_id,

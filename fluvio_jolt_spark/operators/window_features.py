@@ -110,6 +110,114 @@ def with_turn_features(
     return out.drop("session_break")
 
 
+def with_decayed_sum(
+    df: DataFrame,
+    tau_s: float,
+    value_col: str | None = None,
+    partition_cols=("conv_id",),
+    ts_col: str = "ts",
+    out_col: str = "decayed_sum",
+    reanchor_chunk_tau: float | None = None,
+) -> DataFrame:
+    """Exponentially time-decayed running sum per partition:
+
+        out(i) = sum_{j : ts_j <= ts_i} v_j * exp(-(ts_i - ts_j) / tau_s)
+
+    (v_j = ``value_col``, or 1 per row when None — a decayed event
+    count). The naive form is O(n^2) per partition; this computes it
+    O(n) in one window stage via the anchored factorization
+
+        out(i) = exp(-(e_i - b)/tau) * cumsum_j( v_j * exp((e_j - b)/tau) )
+
+    with b = the partition's earliest epoch. b is a full-partition min,
+    but the minimum of an epoch column is always achieved at the
+    earliest row — available in every prefix — so the feature remains
+    leakage-free. The cumulative sum uses the default RANGE frame
+    (ties on ts accumulate together), which Spark and ANSI engines
+    order identically, so results are engine-reproducible.
+
+    Overflow bound: exp((e - b)/tau) requires the partition's time
+    span to stay under ~690*tau_s (IEEE double). For unbounded spans
+    (years of events, tau of minutes) pass ``reanchor_chunk_tau``
+    (chunk width C*tau, 350 <= C <= 690): rows re-anchor per chunk and
+    the previous chunk's anchored total carries over with factor
+    exp(-C); contributions from >= 2 chunks back decay by exp(-2C),
+    which underflows to exact +0.0 in double for C >= ~355, so the
+    one-chunk carry is EXACT in double arithmetic — no approximation.
+    The carry join keys on (partition, chunk); at cluster scale it
+    reuses the window's hash partitioning on the partition cols.
+    """
+    df = ensure_ltz(df, ts_col)
+    pk = list(partition_cols)
+    e = F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)
+    v = F.col(value_col) if value_col is not None else F.lit(1.0)
+    tau = F.lit(float(tau_s))
+
+    if reanchor_chunk_tau is None:
+        wfull = Window.partitionBy(*pk)
+        wcum = Window.partitionBy(*pk).orderBy(e)
+        base = F.min(e).over(wfull)
+        cum = F.sum(v * F.exp((e - base) / tau)).over(wcum)
+        return df.withColumn(out_col, F.exp((base - e) / tau) * cum)
+
+    c = float(reanchor_chunk_tau)
+    if not (350.0 <= c <= 690.0):
+        raise ValueError(f"reanchor_chunk_tau must be in [350, 690], got {c}")
+    width = c * float(tau_s)
+    tmp_e, tmp_ch, tmp_r, tmp_t = "_dsum_e", "_dsum_chunk", "_dsum_r", "_dsum_term"
+    wbase = Window.partitionBy(*pk)
+    with_cols = (
+        df.withColumn(tmp_e, e)
+        .withColumn(
+            tmp_ch,
+            F.floor((F.col(tmp_e) - F.min(tmp_e).over(wbase)) / F.lit(width)),
+        )
+        .withColumn(
+            tmp_r,
+            F.col(tmp_e)
+            - F.min(tmp_e).over(wbase)
+            - F.col(tmp_ch) * F.lit(width),
+        )
+        .withColumn(tmp_t, v * F.exp(F.col(tmp_r) / tau))
+    )
+    wcum = Window.partitionBy(*pk, tmp_ch).orderBy(F.col(tmp_e))
+    cum_in_chunk = F.sum(tmp_t).over(wcum)
+    # Previous chunk's anchored total, decayed across the boundary.
+    # exp(-2C) == +0.0 in double, so one chunk back is the whole carry.
+    totals = with_cols.groupBy(*pk, tmp_ch).agg(F.sum(tmp_t).alias("_dsum_S"))
+    wlag = Window.partitionBy(*pk).orderBy(tmp_ch)
+    prev = totals.select(
+        *pk,
+        tmp_ch,
+        (F.lag("_dsum_S").over(wlag)
+         * F.when(
+             F.lag(tmp_ch).over(wlag) == F.col(tmp_ch) - 1, F.lit(1.0)
+         ).otherwise(F.lit(0.0))
+         ).alias("_dsum_carry"),
+    )
+    # NULL iff no non-null contribution in the current-chunk prefix OR
+    # the previous chunk; anything older decayed by exp(-2C) == exact
+    # +0.0 in double, so its numeric value is 0 either way — the
+    # variants can differ only in NULL-vs-0.0 for such rows.
+    carry = F.col("_dsum_carry")
+    out = (
+        with_cols.join(prev, pk + [tmp_ch], "left")
+        .withColumn(
+            out_col,
+            F.when(
+                cum_in_chunk.isNull() & carry.isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.exp(-F.col(tmp_r) / tau)
+                * (
+                    F.coalesce(cum_in_chunk, F.lit(0.0))
+                    + F.coalesce(carry, F.lit(0.0)) * F.exp(F.lit(-c))
+                )
+            ),
+        )
+    )
+    return out.drop(tmp_e, tmp_ch, tmp_r, tmp_t, "_dsum_carry")
+
+
 def backfill(
     df: DataFrame,
     value_col: str,

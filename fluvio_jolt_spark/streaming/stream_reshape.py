@@ -303,6 +303,123 @@ def _has_watermark(df: DataFrame) -> bool:
         return False
 
 
+def stream_decayed_activity(
+    stream_df: DataFrame,
+    tau_s: float,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: "str | None" = None,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming exponentially time-decayed activity — the at-ingest
+    complement of ``operators.window_features.with_decayed_sum``. Emits,
+    for every input event, the decayed event count (and decayed value
+    sum when ``value_col`` is given) at that event's timestamp.
+
+    The decayed sum has an O(1)-state streaming form: carrying
+    S = sum_j v_j * exp((e_j - frontier)/tau) anchored at the newest
+    seen event, each new event re-anchors with one multiply —
+    S' = S * exp(-(e - frontier)/tau) + v. State per key is 4 scalars
+    (frontier epoch, decayed count, decayed value, non-null count),
+    independent of history length — no window buffer, unbounded
+    retention without unbounded state.
+
+    Parity contract (pinned by test): output equals the batch operator
+    within float tolerance (the recurrence associates the same sum
+    differently) when events arrive in event-time order across
+    micro-batches and ties share a batch. Within a batch rows are
+    processed in (ts, id) order with tied timestamps folded together
+    first (the batch RANGE-frame semantics). A row arriving BEHIND the
+    carried frontier (late data) decays from the frontier with dt
+    clamped to 0 — contributions are never amplified; exact late
+    handling would require retraction, which no streaming engine's
+    append mode expresses.
+
+    Requires a UTC session timezone (same epoch-math contract as
+    ``stream_first_seen_docs(ttl=...)``): timestamps surface tz-naive
+    in the session zone and are read as UTC epochs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    session_tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            "stream_decayed_activity requires spark.sql.session.timeZone=UTC "
+            f"(got {session_tz!r}): state epochs are computed from tz-naive "
+            "timestamps interpreted as UTC"
+        )
+
+    key_type = dict(stream_df.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, {id_col} long, "
+        "decayed_count double, decayed_value double"
+    )
+    state_schema = "frontier double, s_count double, s_value double, n_value long"
+    tau = float(tau_s)
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        if state.exists:
+            frontier, s_count, s_value, n_value = state.get
+        else:
+            frontier, s_count, s_value, n_value = None, 0.0, 0.0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        # normalize to ns first: Arrow batches can surface datetime64[us],
+        # where a bare astype(int64) would be off by 1000×
+        ep = (
+            pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+        )  # tz-naive == UTC under the asserted session zone
+        vals = (
+            pdf[value_col].to_numpy(dtype=object)
+            if value_col is not None
+            else [1.0] * len(pdf)
+        )
+        ids = pdf[id_col].to_numpy()
+        out_ids, out_dc, out_dv = [], [], []
+        i = 0
+        while i < len(pdf):
+            # fold tied timestamps together: batch RANGE-frame semantics
+            j = i
+            while j < len(pdf) and ep[j] == ep[i]:
+                j += 1
+            dt = 0.0 if frontier is None else max(0.0, ep[i] - frontier)
+            factor = math.exp(-dt / tau)
+            s_count *= factor
+            s_value *= factor
+            for k in range(i, j):
+                v = vals[k] if value_col is not None else 1.0
+                s_count += 1.0
+                if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                    s_value += float(v)
+                    n_value += 1
+            frontier = max(frontier, ep[i]) if frontier is not None else ep[i]
+            for k in range(i, j):
+                out_ids.append(int(ids[k]))
+                out_dc.append(s_count)
+                out_dv.append(s_value if n_value > 0 else None)
+            i = j
+        state.update((frontier, s_count, s_value, n_value))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(out_ids),
+                id_col: out_ids,
+                "decayed_count": out_dc,
+                "decayed_value": out_dv,
+            }
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )
+
+
 def stream_asof_enrich(
     stream_df: DataFrame,
     snaps: DataFrame,

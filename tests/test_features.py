@@ -254,3 +254,129 @@ def test_interval_join_binned_equivalence_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan[:1500]
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in naive_plan or "Cartesian" in naive_plan
+
+
+# ---------------------------------------------------------------- decayed sum
+
+
+def _decay_bruteforce(pdf: pd.DataFrame, tau: float, value_col=None):
+    """O(n^2) reference: only NEGATIVE exp arguments, so no overflow at
+    any span — valid oracle for both operator variants."""
+    out = []
+    for _, g in pdf.groupby("pk", sort=False):
+        g = g.sort_values("ep", kind="mergesort")
+        ep = g["ep"].to_numpy()
+        v = (
+            g[value_col].to_numpy(dtype=float)
+            if value_col
+            else np.ones(len(g))
+        )
+        for i in range(len(g)):
+            mask = ep <= ep[i]  # RANGE frame: ties included
+            w = np.exp((ep[mask] - ep[i]) / tau)
+            vals = v[mask]
+            ok = ~np.isnan(vals)
+            # SQL SUM over an all-NULL frame is NULL, not 0
+            res = float(np.sum(w[ok] * vals[ok])) if ok.any() else None
+            out.append((g["rid"].iloc[i], res))
+    return dict(out)
+
+
+def _decay_frame(spark, n=400, span_s=2_000_000.0, seed=7, n_pk=5):
+    rng = np.random.default_rng(seed)
+    ep = np.sort(rng.uniform(0, span_s, n))
+    # quantize to whole microseconds: the ts column truncates there, and
+    # the brute-force oracle must see the identical epoch values
+    ep = np.round(ep * 1e6) / 1e6
+    ep[n // 2] = ep[n // 2 - 1]  # planted tie inside one partition
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "pk": rng.integers(0, n_pk, n),
+            "ep": ep,
+            "value": rng.normal(10, 3, n),
+        }
+    )
+    # SQL NULLs (sum skips), not float NaNs (sum propagates): a float64
+    # column coerces None back to NaN, so go through object dtype
+    pdf["value"] = pdf["value"].astype(object)
+    pdf.loc[rng.random(n) < 0.1, "value"] = None
+    pdf["ts"] = pd.to_datetime(pdf["ep"] * 1e6, unit="us")
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.mark.parametrize("value_col", [None, "value"])
+def test_decayed_sum_matches_bruteforce(spark, value_col):
+    from fluvio_jolt_spark.operators.window_features import with_decayed_sum
+
+    df, pdf = _decay_frame(spark)
+    tau = 86_400.0
+    got = with_decayed_sum(
+        df, tau_s=tau, value_col=value_col, partition_cols=("pk",),
+        out_col="d",
+    ).toPandas()
+    want = _decay_bruteforce(pdf, tau, value_col)
+    for _, r in got.iterrows():
+        w = want[r["rid"]]
+        if w is None:
+            assert pd.isna(r["d"])
+        else:
+            assert abs(r["d"] - w) <= 1e-9 * max(1.0, abs(w))
+
+
+def test_decayed_sum_segmented_exact_vs_simple_and_long_span(spark):
+    from fluvio_jolt_spark.operators.window_features import with_decayed_sum
+
+    # short span: segmented must equal the single-anchor path bit-for-bit-ish
+    df, pdf = _decay_frame(spark)
+    tau = 86_400.0
+    simple = with_decayed_sum(
+        df, tau_s=tau, partition_cols=("pk",), out_col="d"
+    ).toPandas().set_index("rid")["d"]
+    seg = with_decayed_sum(
+        df, tau_s=tau, partition_cols=("pk",), out_col="d",
+        reanchor_chunk_tau=400.0,
+    ).toPandas().set_index("rid")["d"]
+    assert np.allclose(simple.sort_index(), seg.sort_index(), rtol=1e-12)
+
+    # long span: span/tau = 5000 — the single-anchor exp() would overflow
+    # to inf; the re-anchored variant must still match brute force.
+    tau_small = 400.0  # span 2e6 s / 400 s = 5000 tau units
+    df2, pdf2 = _decay_frame(spark, n=300, seed=11)
+    seg2 = with_decayed_sum(
+        df2, tau_s=tau_small, value_col="value", partition_cols=("pk",),
+        out_col="d", reanchor_chunk_tau=400.0,
+    ).toPandas()
+    want = _decay_bruteforce(pdf2, tau_small, "value")
+    for _, r in seg2.iterrows():
+        w = want[r["rid"]]
+        if pd.isna(r["d"]):
+            # segmented NULL: no non-null contribution within current or
+            # previous chunk — anything older decayed below double range
+            assert w is None or abs(w) < 1e-250
+        else:
+            assert np.isfinite(r["d"])
+            assert abs(r["d"] - w) <= 1e-9 * max(1.0, abs(w))
+
+
+def test_decayed_sum_no_leakage(spark):
+    """Appending future rows must not change any existing row's value."""
+    from fluvio_jolt_spark.operators.window_features import with_decayed_sum
+
+    df, pdf = _decay_frame(spark, n=200, seed=3)
+    tau = 86_400.0
+    base_vals = (
+        with_decayed_sum(df, tau_s=tau, partition_cols=("pk",), out_col="d")
+        .toPandas().set_index("rid")["d"]
+    )
+    fut = pdf.copy()
+    fut["rid"] += 10_000
+    fut["ep"] += 3_000_000.0  # strictly after every existing row
+    fut["ts"] = pd.to_datetime(fut["ep"] * 1e6, unit="us")
+    both = spark.createDataFrame(pd.concat([pdf, fut], ignore_index=True))
+    with_future = (
+        with_decayed_sum(both, tau_s=tau, partition_cols=("pk",), out_col="d")
+        .toPandas().set_index("rid")["d"]
+    )
+    for rid, v in base_vals.items():
+        assert with_future[rid] == pytest.approx(v, rel=1e-12)

@@ -397,3 +397,89 @@ def test_stream_first_seen_ttl_requires_utc_session(spark, tmp_path):
     # UTC session: constructing the operator succeeds
     out = stream_first_seen_docs(df, ttl="1 hour", ts_col="ts")
     assert "content_hash" in out.columns
+
+
+def test_stream_decayed_activity_matches_batch(spark, tmp_path):
+    """Batch/stream duality for the decayed recency feature: feeding
+    event-time-ordered micro-batches, the O(1)-state streaming
+    recurrence reproduces with_decayed_sum per event (allclose — the
+    recurrence associates the identical sum differently)."""
+    import numpy as np
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.window_features import with_decayed_sum
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_decayed_activity
+
+    rng = np.random.default_rng(17)
+    n = 48
+    ep = np.sort(rng.uniform(0, 500_000, n))
+    ep = np.round(ep * 1e6) / 1e6
+    ep[10] = ep[9]  # tie inside one micro-batch
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 4, n),
+            "value": rng.normal(5, 2, n),
+            "ts": pd.to_datetime((ep * 1e6).astype("int64"), unit="us"),
+        }
+    )
+    pdf.loc[[5, 20], "value"] = None  # SQL NULLs through the stream
+    pdf["value"] = pdf["value"].astype(object).where(pdf["value"].notna(), None)
+
+    src = tmp_path / "decay_stream"
+    for i in range(6):  # 6 event-time-ordered micro-batches of 8
+        _write_batch_dir(spark, pdf.iloc[i * 8 : i * 8 + 8], src / f"part{i}", i)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    tau = 86_400.0
+    out = stream_decayed_activity(
+        stream, tau_s=tau, key_col="user_id", value_col="value"
+    )
+    run_stream_to_memory(out, "decay_out", output_mode="update")
+    got = (
+        spark.sql("SELECT * FROM decay_out").toPandas().set_index("event_id")
+    )
+    assert len(got) == n
+
+    batch_df = spark.createDataFrame(pdf)
+    want = (
+        with_decayed_sum(
+            batch_df, tau_s=tau, partition_cols=("user_id",), out_col="decayed_count"
+        )
+        .toPandas().set_index("event_id")["decayed_count"]
+    )
+    want_v = (
+        with_decayed_sum(
+            batch_df, tau_s=tau, value_col="value", partition_cols=("user_id",),
+            out_col="decayed_value",
+        )
+        .toPandas().set_index("event_id")["decayed_value"]
+    )
+    for eid in pdf["event_id"]:
+        assert got.loc[eid, "decayed_count"] == pytest.approx(
+            want.loc[eid], rel=1e-9
+        )
+        if pd.isna(want_v.loc[eid]):
+            assert pd.isna(got.loc[eid, "decayed_value"])
+        else:
+            assert got.loc[eid, "decayed_value"] == pytest.approx(
+                want_v.loc[eid], rel=1e-9
+            )
+
+
+def test_stream_decayed_activity_requires_utc(spark):
+    import pytest as _pytest
+
+    from fluvio_jolt_spark.streaming.stream_reshape import stream_decayed_activity
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = s.range(1).selectExpr(
+        "id AS event_id", "id AS user_id", "CAST(id AS DOUBLE) value",
+        "current_timestamp() AS ts",
+    )
+    with _pytest.raises(ValueError, match="UTC"):
+        stream_decayed_activity(df, tau_s=60.0)

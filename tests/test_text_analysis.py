@@ -170,3 +170,37 @@ def test_suggest_pack_buckets():
     assert suggest_pack_buckets(1_000_000_000) == 64  # ~100 TB of 100 KB docs
     assert suggest_pack_buckets(10_000_000_000) == 512
     assert suggest_pack_buckets(100_000_000_000) == 4096
+
+
+def test_repetition_stats_bruteforce(spark):
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.text_analysis import with_repetition_stats
+
+    texts = [
+        "the cat sat on the mat the cat sat again",   # repeated words+grams
+        "buy now buy now buy now buy now",            # degenerate spam
+        "all words here are fully distinct tokens",   # no repetition
+        "tiny doc",                                   # < 3 tokens: gram NULL
+        "one",                                        # single token
+        "a a a",                                      # all same
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = with_repetition_stats(df, n=3).toPandas().set_index("doc_id")
+
+    import re
+
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t)
+        grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        want_w = 1.0 - len(set(toks)) / len(toks)
+        assert got.loc[i, "dup_word_frac"] == pytest.approx(want_w, abs=1e-12)
+        if grams:
+            want_g = 1.0 - len(set(grams)) / len(grams)
+            assert got.loc[i, "dup_3gram_frac"] == pytest.approx(want_g, abs=1e-12)
+        else:
+            assert pd.isna(got.loc[i, "dup_3gram_frac"])
+
+    # degenerate spam ranks above clean prose on both axes
+    assert got.loc[1, "dup_word_frac"] > got.loc[2, "dup_word_frac"]
+    assert got.loc[1, "dup_3gram_frac"] > 0.5

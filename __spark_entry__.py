@@ -208,6 +208,30 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "signup_value")
 
 
+def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join with a staleness bound (the feature-store TTL
+    semantic): as asof_join_signup, but a signup snapshot older than 2
+    days at event time is discarded — NULL, exactly as if absent. Same
+    union-window plan (no join node); the matched snapshot's ts rides
+    the same fill window, so the bound adds zero exchanges. Oracle:
+    DuckDB ASOF LEFT JOIN with the staleness test applied to the
+    matched row."""
+    from fluvio_jolt_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("signup_value")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left, signups, on="ts", right_on="snap_ts", by="user_id",
+        tolerance_s=172_800.0,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("signup_value").alias("signup_value_recent")
+    )
+
+
 def _q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as asof_join_signup via the applyInPandas merge_asof variant.
 
@@ -1152,14 +1176,15 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 64-query registry,
-# 14 queries sit out each round and re-enter the window the next round, so
+# block rotates to the tail.  With a 50-row window over a 65-query registry,
+# 15 queries sit out each round and re-enter the window the next round, so
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
     "video_features": _q_video_features,
     "decayed_activity": _q_decayed_activity,
     "repetition_stats": _q_repetition_stats,
+    "asof_join_tolerance": _q_asof_join_tolerance,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1209,9 +1234,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": _q_embedding_near_dup,
     "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
     "ann_lsh_topk": _q_ann_lsh_topk,
-    "ann_batch_topk": _q_ann_batch_topk,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "ann_batch_topk": _q_ann_batch_topk,
     "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
     "near_dup_scaled_docs": _q_near_dup_scaled_docs,
     "audio_features": _q_audio_features,
@@ -1665,6 +1690,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_join_signup": """
           SELECT e.event_id, e.user_id, s.signup_value
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "asof_join_tolerance": """
+          SELECT e.event_id, e.user_id,
+                 CASE WHEN s.ts IS NOT NULL
+                           AND epoch_us(e.ts) - epoch_us(s.ts) <= 172800000000
+                      THEN s.signup_value END AS signup_value_recent
           FROM events e
           ASOF LEFT JOIN (
             SELECT user_id, ts, value AS signup_value

@@ -31,6 +31,7 @@ def asof_join(
     by: str | list[str] = "conv_id",
     value_cols: list[str] | None = None,
     strict: bool = False,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right values with
     ``right_on <= on`` (or ``<`` when strict) within the same ``by`` keys.
@@ -38,6 +39,13 @@ def asof_join(
     Plan shape: union → one shuffle on (by) → window sort on
     (event time, side priority) → filter left rows. No join node at all,
     so there is no row-multiplication risk and no broadcast-size limit.
+
+    ``tolerance_s`` bounds match staleness (the feature-store TTL
+    semantic): a match older than ``on - tolerance_s`` is discarded and
+    the values come back NULL, exactly as if no snapshot existed — a
+    stale profile must not silently serve as a point-in-time feature.
+    Staleness is judged against the matched snapshot's own timestamp,
+    carried through the same fill window (adds no exchange, no join).
     """
     left = ensure_ltz(left, on)
     right = ensure_ltz(right, right_on)
@@ -58,8 +66,15 @@ def asof_join(
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
+    fill_cols = list(value_cols)
+    if tolerance_s is not None:
+        # carry the matched snapshot's own ts through the same fill
+        l_tag = l_tag.withColumn("_src_ts", F.lit(None).cast("timestamp"))
+        r_tag = r_tag.withColumn("_src_ts", F.col(right_on))
+        fill_cols.append("_src_ts")
+
     cols = by_cols + ["_evt_ts", "_prio"] + \
-        [c for c in left.columns if c not in by_cols] + value_cols
+        [c for c in left.columns if c not in by_cols] + fill_cols
     unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
     # Final tiebreaker: duplicate right rows at identical (by, snap_ts)
@@ -71,10 +86,22 @@ def asof_join(
         .orderBy("_evt_ts", "_prio", *value_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
+    for c in fill_cols:
         unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
 
-    return unioned.filter(F.col("_prio") == left_prio).drop("_evt_ts", "_prio")
+    out = unioned.filter(F.col("_prio") == left_prio).drop("_evt_ts", "_prio")
+    if tolerance_s is not None:
+        fresh = (
+            F.col("_src_ts").isNotNull()
+            & (
+                F.unix_micros(F.col(on)) - F.unix_micros(F.col("_src_ts"))
+                <= F.lit(int(round(tolerance_s * 1_000_000)))
+            )
+        )
+        for c in value_cols:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+        out = out.drop("_src_ts")
+    return out
 
 
 def asof_join_salted(

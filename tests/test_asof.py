@@ -368,3 +368,53 @@ def test_asof_pandas_group_row_cap(spark):
     # generous cap: passes through untouched
     ok = asof_join_pandas(left, right, max_group_rows=10_000)
     assert ok.count() == 100
+
+
+def test_asof_tolerance_staleness_bound(spark):
+    """tolerance_s discards matches older than the bound: fresh match
+    kept, boundary-exact match kept (inclusive), stale match NULLed,
+    never-matched stays NULL — and rows after a NEWER snapshot recover."""
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"] * 4 + ["b"],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:30",  # 30s after snap1: fresh
+                        "2024-01-01 00:01:00",  # exactly 60s: boundary, kept
+                        "2024-01-01 00:10:00",  # 600s: stale -> NULL
+                        "2024-01-01 00:20:10",  # 10s after snap2: fresh again
+                        "2024-01-01 00:00:45",  # user b: no snapshot ever
+                    ]
+                ),
+                "i": [0, 1, 2, 3, 4],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "snap_ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:20:00"]
+                ),
+                "v": [10.0, 20.0],
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, on="ts", right_on="snap_ts", by="k", tolerance_s=60.0)
+        .toPandas()
+        .set_index("i")["v"]
+    )
+    assert out[0] == 10.0
+    assert out[1] == 10.0          # inclusive boundary
+    assert pd.isna(out[2])         # stale
+    assert out[3] == 20.0          # newer snapshot re-qualifies
+    assert pd.isna(out[4])         # no match at all
+    # without tolerance the stale row keeps its value
+    base = (
+        asof_join(left, right, on="ts", right_on="snap_ts", by="k")
+        .toPandas().set_index("i")["v"]
+    )
+    assert base[2] == 10.0

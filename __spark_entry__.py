@@ -376,6 +376,81 @@ def _q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed expanding-mean target encoding of event_type by value —
+    the feature-store encoder in its point-in-time form: each row's
+    encoding aggregates STRICTLY-earlier rows of its category (RANGE
+    frame ending 1 µs back), so same-instant rows never leak into each
+    other. Smoothing prior = corpus mean via one bounded driver-side
+    aggregate (catalog-stat pattern, never a lit-key join). One shuffle
+    on event_type; round(.,4) absorbs cross-engine float-sum noise."""
+    from fluvio_jolt_spark.operators.encoders import target_encode_expanding
+
+    ev = _read(spark, sf_dir, "events")
+    out = target_encode_expanding(ev, "event_type", "value", ts_col="ts", m=20.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("target_enc", 4).alias("target_enc"),
+    )
+
+
+def _q_feature_cross_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature cross (event_type × hour-of-day) bucketed
+    to 64, counted per (user_id, bucket) — vocabulary-free categorical
+    crosses, the property that matters when the cross vocabulary is
+    unbounded at 100 TB. Map-side hash + one hash-agg shuffle of 3
+    columns. This gate lane uses the md5-derived 60-bit family so the
+    oracle reproduces buckets exactly; feature_cross_hash's default
+    xxhash64 lane is the production family (same plan). Hour comes from
+    integer epoch division, not hour(), so session timezones are moot."""
+    from fluvio_jolt_spark.operators.encoders import feature_cross_hash
+
+    ev = _read(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "hr", F.expr("CAST(unix_micros(ts) DIV 3600000000 AS BIGINT) % 24")
+    )
+    out = feature_cross_hash(ev, ["event_type", "hr"], n_buckets=64,
+                             hash_family="md5")
+    return out.groupBy("user_id", "cross_bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def _q_quantile_bin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quartile binning of value (exact ntile lane, the
+    oracle-checkable path; operators.encoders.quantile_bin also carries
+    the two-pass approx_percentile + broadcast-cuts mode, which is the
+    100-TB path when one group holds 10^10 rows — agreement is pinned in
+    tests/test_encoders.py). Tie order (value, event_id) makes the
+    total order deterministic across engines."""
+    from fluvio_jolt_spark.operators.encoders import quantile_bin
+
+    ev = _read(spark, sf_dir, "events")
+    out = quantile_bin(ev, "value", ["event_type"], n_bins=4,
+                       tie_cols=["event_id"], out_col="qbin")
+    return out.select(
+        "event_id", "event_type", F.col("qbin").cast("long").alias("qbin")
+    )
+
+
+def _q_distinct_types_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many DISTINCT event types each user produced strictly before
+    this event — an exact O(n) breadth-of-activity feature (first-
+    occurrence flag via row_number, then a strict-past running sum),
+    never a collect_set-over-window. Two narrow shuffles:
+    (user, type) then (user)."""
+    from fluvio_jolt_spark.operators.encoders import distinct_seen_count
+
+    ev = _read(spark, sf_dir, "events")
+    out = distinct_seen_count(ev, "user_id", "event_type", ts_col="ts",
+                              tie_cols=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("distinct_seen").cast("long").alias("distinct_seen"),
+    )
+
+
 def _q_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1176,8 +1251,8 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 65-query registry,
-# 15 queries sit out each round and re-enter the window the next round, so
+# block rotates to the tail.  With a 50-row window over a 69-query registry,
+# 19 queries sit out each round and re-enter the window the next round, so
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
@@ -1185,6 +1260,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_activity": _q_decayed_activity,
     "repetition_stats": _q_repetition_stats,
     "asof_join_tolerance": _q_asof_join_tolerance,
+    "target_encode_events": _q_target_encode_events,
+    "feature_cross_counts": _q_feature_cross_counts,
+    "quantile_bin_events": _q_quantile_bin_events,
+    "distinct_types_seen": _q_distinct_types_seen,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1230,12 +1309,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_union": _q_distinct_union,
     "pivot_event_counts": _q_pivot_event_counts,
     "minhash_lsh_docs": _q_minhash_lsh_docs,
+    # --- checked in round 4 and code-unchanged since: this round's
+    # rotated-out block (re-enters the window in round 6) ---
     "simhash_near_dup": _q_simhash_near_dup,
     "embedding_near_dup": _q_embedding_near_dup,
     "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
     "ann_lsh_topk": _q_ann_lsh_topk,
-    # --- checked in round 4 and code-unchanged since: this round's
-    # rotated-out block (re-enters the window in round 6) ---
     "ann_batch_topk": _q_ann_batch_topk,
     "ivf_topk_exhaustive": _q_ivf_topk_exhaustive,
     "near_dup_scaled_docs": _q_near_dup_scaled_docs,
@@ -1706,6 +1785,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts, value AS signup_value
             FROM events WHERE event_type = 'signup'
           ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+        """,
+        "target_encode_events": """
+          SELECT event_id, event_type,
+                 ROUND(
+                   (COALESCE(SUM(value) OVER w, 0)
+                      + 20 * (SELECT AVG(value) FROM events))
+                   / (COUNT(value) OVER w + 20), 4) AS target_enc
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "feature_cross_counts": """
+          SELECT user_id,
+                 ('0x' || substr(md5(concat_ws('|',
+                     COALESCE(event_type, chr(0)),
+                     COALESCE(CAST((epoch_us(ts) // 3600000000) % 24
+                              AS VARCHAR), chr(0)))), 1, 15))::BIGINT
+                   % 64 AS cross_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events
+          GROUP BY 1, 2
+        """,
+        "quantile_bin_events": """
+          SELECT event_id, event_type,
+                 CAST(ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY value NULLS FIRST, event_id NULLS FIRST)
+                      AS BIGINT) AS qbin
+          FROM events
+        """,
+        "distinct_types_seen": """
+          WITH f AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY epoch_us(ts), event_id) = 1
+                        THEN 1 ELSE 0 END AS flag
+            FROM events
+          )
+          SELECT event_id, user_id,
+                 CAST(COALESCE(SUM(flag) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS distinct_seen
+          FROM f
         """,
         "asof_join_signup_pandas": """
           WITH ev AS (

@@ -19,6 +19,12 @@ from .similarity import (  # noqa: F401
     ivf_train_centroids,
     lsh_ann_topk,
 )
+from .encoders import (  # noqa: F401
+    distinct_seen_count,
+    feature_cross_hash,
+    quantile_bin,
+    target_encode_expanding,
+)
 from .text_analysis import (  # noqa: F401
     with_fingerprint,
     with_lang_id,

@@ -753,6 +753,39 @@ def _q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment — connected components (HashMin label
+    propagation, lineage-truncated per round) over the md5-family LSH
+    candidate graph, joined back so every document gets a cluster id
+    (min doc_id of its component; singletons label themselves) and an
+    is_canonical keep-flag. This is the piece that turns candidate
+    PAIRS into the thing a pipeline actually consumes: one row per
+    document, "keep iff canonical". Oracle: DuckDB recursive CTE
+    computing min reachable vertex over the identical candidate set."""
+    from fluvio_jolt_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, hash_family="md5",
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    comp = connected_components(cands, "id_a", "id_b")
+    did = F.col("doc_id").cast("long")
+    return (
+        docs.select(did.alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("v"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+             ).alias("is_canonical"),
+        )
+    )
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1251,8 +1284,8 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 69-query registry,
-# 19 queries sit out each round and re-enter the window the next round, so
+# block rotates to the tail.  With a 50-row window over a 70-query registry,
+# 20 queries sit out each round and re-enter the window the next round, so
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
@@ -1264,6 +1297,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_cross_counts": _q_feature_cross_counts,
     "quantile_bin_events": _q_quantile_bin_events,
     "distinct_types_seen": _q_distinct_types_seen,
+    "dup_clusters": _q_dup_clusters,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1308,9 +1342,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join": _q_semi_join,
     "distinct_union": _q_distinct_union,
     "pivot_event_counts": _q_pivot_event_counts,
-    "minhash_lsh_docs": _q_minhash_lsh_docs,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "minhash_lsh_docs": _q_minhash_lsh_docs,
     "simhash_near_dup": _q_simhash_near_dup,
     "embedding_near_dup": _q_embedding_near_dup,
     "lsh_jaccard_near_dup": _q_lsh_jaccard_near_dup,
@@ -1595,6 +1629,34 @@ def _lsh_jaccard_oracle(threshold: float = 0.5) -> str:
           JOIN sh2 b ON b.doc_id = c.id_b
           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+        """
+
+
+def _dup_clusters_oracle() -> str:
+    """Connected components as a recursive CTE: min reachable vertex id
+    over the symmetrized candidate edge set (exact fixpoint — the same
+    value HashMin converges to), left-joined back to all documents so
+    singletons label themselves."""
+    cands = _minhash_oracle(
+        num_hashes=16, bands=8, shingle_n=3, bucket_cap=LSH_BUCKET_CAP
+    )
+    return f"""
+          WITH RECURSIVE cands AS ({cands}
+          ), e AS (
+            SELECT id_a AS a, id_b AS b FROM cands
+            UNION ALL
+            SELECT id_b, id_a FROM cands
+          ), reach(v, lbl) AS (
+            SELECT DISTINCT a, a FROM e
+            UNION
+            SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.v
+          ), comp AS (
+            SELECT v, MIN(lbl) AS component FROM reach GROUP BY v
+          )
+          SELECT d.doc_id,
+                 CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+                 COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+          FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
         """
 
 
@@ -2121,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
             bucket_cap=LSH_BUCKET_CAP,
         ),
         "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
+        "dup_clusters": _dup_clusters_oracle(),
         "ann_lsh_topk": _ann_oracle(),
         "ann_batch_topk": _ann_batch_oracle(),
         "image_features": _image_features_oracle(n=48),

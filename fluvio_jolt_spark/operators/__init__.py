@@ -3,6 +3,7 @@ from .window_features import backfill, with_turn_features  # noqa: F401
 from .asof import asof_join, asof_join_pandas, asof_join_salted  # noqa: F401
 from .skew import diagnose_conversation_skew, with_turn_features_salted  # noqa: F401
 from .dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,

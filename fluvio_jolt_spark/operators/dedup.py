@@ -574,3 +574,73 @@ def near_dup_candidates_scaled(
         hash_family=hash_family,
         bucket_cap=bucket_cap,
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph —
+    the last step of a dedup pipeline: every near-dup component gets a
+    canonical label (its minimum vertex id), so "keep one per cluster"
+    is ``filter(v == component)``.
+
+    HashMin label propagation: each vertex's label is the min of its
+    own and its neighbors', iterated to fixpoint. Convergence takes
+    exactly ecc(min-vertex) ≤ diameter iterations; near-dup components
+    are dense clusters of copies with tiny diameter (a candidate
+    generator that emits long chains of pairwise-similar-but-globally-
+    different docs is broken upstream), so this terminates in a handful
+    of rounds. Each round is one narrow (vertex, label) shuffle joined
+    against the static symmetrized edge list — labels never carry
+    payload. ``localCheckpoint`` truncates lineage per round so the
+    plan stays O(1) deep. For adversarial high-diameter graphs the
+    published O(log^2 n)-round alternative is large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"); ``max_iter`` guards against silently wrong output —
+    non-convergence raises rather than returning partial labels.
+
+    Returns (v, component) with component = min vertex id reachable;
+    vertices not present in ``edges`` are absent (singletons are the
+    caller's docs minus this frame — coalesce on join-back).
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    converged = False
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["b"] == labels["v"]).groupBy("a").agg(
+            F.min("lbl").alias("nlbl")
+        )
+        stepped = (
+            labels.join(nbr, labels["v"] == nbr["a"], "left")
+            .select(
+                labels["v"],
+                labels["lbl"].alias("prev"),
+                F.least(
+                    labels["lbl"], F.coalesce(nbr["nlbl"], labels["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("lbl") < F.col("prev")).count()
+        labels = stepped.drop("prev")
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the candidate graph has a path longer than max_iter — raise "
+            "max_iter or switch to star-contraction for this input"
+        )
+    return labels.select("v", F.col("lbl").alias("component"))

@@ -434,3 +434,39 @@ def test_ngram_contamination_bloom_no_false_negatives(spark):
     assert out.loc[101, "n_hit"] == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bit_or" in plan and "BroadcastHashJoin" in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 collapses to component 1; separate pair (10,11)
+    to 10; vertex order / edge direction irrelevant."""
+    import pandas as pd
+    from fluvio_jolt_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [2, 3, 4, 11], "id_b": [1, 2, 3, 10]})
+    )
+    got = {
+        r["v"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path longer than max_iter must raise, never return partial
+    labels (HashMin needs ecc(min) rounds + 1 confirmation round)."""
+    import pandas as pd
+    import pytest
+    from fluvio_jolt_spark.operators.dedup import connected_components
+
+    # path 0-1-2-3-4-5: min label needs 5 propagation rounds
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(5)), "id_b": list(range(1, 6))})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    ok = {
+        r["v"]: r["component"]
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert set(ok.values()) == {0}

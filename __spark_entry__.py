@@ -786,6 +786,18 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score per document (mean token
+    log-probability under the corpus's own unigram distribution, hapax
+    tokens OOV-floored) — see operators.text_analysis.unigram_logprob
+    for the 100-TB shape (token-key shuffle, never broadcast; N as a
+    catalog-stat literal)."""
+    from fluvio_jolt_spark.operators.text_analysis import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_logprob(docs, min_count=2, oov_alpha=0.5)
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1284,8 +1296,8 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 70-query registry,
-# 20 queries sit out each round and re-enter the window the next round, so
+# block rotates to the tail.  With a 50-row window over a 71-query registry,
+# 21 queries sit out each round and re-enter the window the next round, so
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
@@ -1298,6 +1310,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_bin_events": _q_quantile_bin_events,
     "distinct_types_seen": _q_distinct_types_seen,
     "dup_clusters": _q_dup_clusters,
+    "unigram_logprob": _q_unigram_logprob,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1341,9 +1354,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "broadcast_join_agg": _q_broadcast_join_agg,
     "semi_join": _q_semi_join,
     "distinct_union": _q_distinct_union,
-    "pivot_event_counts": _q_pivot_event_counts,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "pivot_event_counts": _q_pivot_event_counts,
     "minhash_lsh_docs": _q_minhash_lsh_docs,
     "simhash_near_dup": _q_simhash_near_dup,
     "embedding_near_dup": _q_embedding_near_dup,
@@ -2000,6 +2013,21 @@ def oracle_sql() -> dict[str, str]:
                  ('0x' || substr(md5(substr(n, 1, 64)), 1, 15))::BIGINT
                    AS prefix_fingerprint
           FROM norm
+        """,
+        "unigram_logprob": """
+          WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+          ), vocab AS (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            HAVING COUNT(*) >= 2
+          ), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+          SELECT t.doc_id,
+                 ROUND(AVG(CASE WHEN v.c IS NOT NULL THEN ln(v.c / tot.n)
+                                ELSE ln(0.5 / tot.n) END), 4)
+                   AS unigram_logprob
+          FROM toks t LEFT JOIN vocab v USING (tok), tot
+          GROUP BY t.doc_id
         """,
         "tfidf_top_terms": """
           WITH toks AS (

@@ -290,3 +290,48 @@ def suggest_pack_buckets(n_docs: int, target_rows_per_bucket: int = 32_000_000) 
 
     need = max(1, -(-int(n_docs) // int(target_rows_per_bucket)))  # ceil div
     return max(64, 1 << math.ceil(math.log2(need)))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    oov_alpha: float = 0.5,
+    total_tokens: "int | None" = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the CCNet-style language-model quality filter:
+    documents whose tokens are "normal" for the corpus score high
+    (closer to 0), keyboard mash / boilerplate / wrong-language text
+    scores low. score(d) = mean over tokens t of ln(count(t) / N),
+    with tokens rarer than ``min_count`` treated as OOV at a smoothed
+    floor ln(oov_alpha / N).
+
+    100-TB shape: token counts are a partial-agg'd groupBy; the
+    token-vocab join shuffles on the token key (the vocabulary is
+    corpus-sized — NOT broadcast, same reasoning as TF-IDF's df table);
+    ``min_count`` prunes the hapax tail, which at web scale is most of
+    the vocabulary rows. N is one bounded driver-side count (catalog
+    statistic folded in as a literal — a lit-keyed 1-row join would
+    constant-fold into a nested-loop join). In a train/serve split the
+    caller passes ``total_tokens`` and persists the vocab table.
+    round(.,4) absorbs cross-engine libm ln() and sum-order noise.
+    """
+    toks = df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    if total_tokens is None:
+        total_tokens = toks.count()
+    n = float(total_tokens)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= int(min_count))
+    )
+    lp = F.when(
+        F.col("c").isNotNull(), F.log(F.col("c") / F.lit(n))
+    ).otherwise(F.log(F.lit(float(oov_alpha)) / F.lit(n)))
+    return (
+        toks.join(vocab, "tok", "left")
+        .groupBy(id_col)
+        .agg(F.round(F.avg(lp), 4).alias("unigram_logprob"))
+    )

@@ -204,3 +204,28 @@ def test_repetition_stats_bruteforce(spark):
     # degenerate spam ranks above clean prose on both axes
     assert got.loc[1, "dup_word_frac"] > got.loc[2, "dup_word_frac"]
     assert got.loc[1, "dup_3gram_frac"] > 0.5
+
+
+def test_unigram_logprob_oov_floor(spark):
+    """Common tokens score ln(c/N); hapax tokens hit the OOV floor
+    ln(alpha/N); per-doc score is the token mean."""
+    import math
+    import pandas as pd
+    from fluvio_jolt_spark.operators.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the cat", "the dog", "zzz"],
+        })
+    )
+    got = {
+        r["doc_id"]: r["unigram_logprob"]
+        for r in unigram_logprob(docs, min_count=2, oov_alpha=0.5).collect()
+    }
+    n = 5.0  # the, cat, the, dog, zzz
+    lp_the = math.log(2 / n)
+    lp_oov = math.log(0.5 / n)
+    assert got[1] == round((lp_the + lp_oov) / 2, 4)
+    assert got[2] == round((lp_the + lp_oov) / 2, 4)
+    assert got[3] == round(lp_oov, 4)

@@ -38,8 +38,13 @@ sys.path.insert(0, str(REPO))
 import bench  # noqa: E402
 
 N_TURNS = 2_400_000
-N_BUCKETS = 16
-WAREHOUSE = "/dev/shm/fjs-bkt-wh"
+# 64 = suggest_bucket_count(2.4M): the bucket-count sweep
+# (bucket_sweep_r5.jsonl) showed 16 buckets quantizes into 2 task
+# waves at 8 cores and costs ~0.06-0.08 raw ratio vs 64.
+N_BUCKETS = 64
+# same path scheme as run_bucket_sweep_r5._warehouse(64), so an
+# already-prepped sweep warehouse is reused
+WAREHOUSE = "/dev/shm/fjs-bkt-wh-64"
 OUT_JSONL = REPO / "BENCH" / "scaling_r5.jsonl"
 OUT_JSON = REPO / "BENCH" / "scaling_r5.json"
 

@@ -798,6 +798,36 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, min_count=2, oov_alpha=0.5)
 
 
+def _q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal K-fold assignment (de Prado CV): 5 equal time
+    slices, rows whose 1-day embargo window crosses the next fold
+    boundary flagged purged. Exact int64 epoch arithmetic on both
+    engines — see operators.validation.time_series_folds (float
+    floor-div flips boundary rows). Map-only, zero shuffle."""
+    from fluvio_jolt_spark.operators.validation import time_series_folds
+
+    ev = _read(spark, sf_dir, "events")
+    out = time_series_folds(ev, n_folds=5, embargo_s=86_400.0)
+    return out.select("event_id", "fold_id", "purged")
+
+
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of value between the first and second
+    half of the time range, per event type — the standard drift monitor
+    for deployed feature pipelines. Counts bin exactly (integer-scaled
+    equal-width bins) so only the final ln/divide is float; round(.,4)
+    absorbs it. Two partial-agg stages, bounded driver-side min/max."""
+    from fluvio_jolt_spark.operators.validation import psi_drift
+
+    ev = _read(spark, sf_dir, "events")
+    out = psi_drift(ev, "value", "ts", ["event_type"], n_bins=10, decimals=2)
+    return out.select(
+        "event_type", "psi",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+    )
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1296,8 +1326,8 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 71-query registry,
-# 21 queries sit out each round and re-enter the window the next round, so
+# block rotates to the tail.  With a 50-row window over a 73-query registry,
+# 23 queries sit out each round and re-enter the window the next round, so
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
@@ -1311,6 +1341,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_types_seen": _q_distinct_types_seen,
     "dup_clusters": _q_dup_clusters,
     "unigram_logprob": _q_unigram_logprob,
+    "cv_folds": _q_cv_folds,
+    "psi_drift": _q_psi_drift,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1352,10 +1384,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5ish": _q_tpch_q5ish,
     "topk_per_group": _q_topk_per_group,
     "broadcast_join_agg": _q_broadcast_join_agg,
-    "semi_join": _q_semi_join,
-    "distinct_union": _q_distinct_union,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "semi_join": _q_semi_join,
+    "distinct_union": _q_distinct_union,
     "pivot_event_counts": _q_pivot_event_counts,
     "minhash_lsh_docs": _q_minhash_lsh_docs,
     "simhash_near_dup": _q_simhash_near_dup,
@@ -2028,6 +2060,54 @@ def oracle_sql() -> dict[str, str]:
                    AS unigram_logprob
           FROM toks t LEFT JOIN vocab v USING (tok), tot
           GROUP BY t.doc_id
+        """,
+        "cv_folds": """
+          WITH b AS (
+            SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+            FROM events
+          )
+          SELECT e.event_id,
+                 LEAST(((epoch_us(e.ts) - b.mn) * 5) // (b.mx - b.mn + 1),
+                       4) AS fold_id,
+                 LEAST(((epoch_us(e.ts) + 86400000000 - b.mn) * 5)
+                         // (b.mx - b.mn + 1), 4)
+                   > LEAST(((epoch_us(e.ts) - b.mn) * 5)
+                         // (b.mx - b.mn + 1), 4) AS purged
+          FROM events e, b
+        """,
+        "psi_drift": """
+          WITH s AS (
+            SELECT MIN(CAST(round(value * 100) AS BIGINT)) AS vmn,
+                   MAX(CAST(round(value * 100) AS BIGINT)) AS vmx,
+                   MIN(epoch_us(ts)) AS tmn, MAX(epoch_us(ts)) AS tmx
+            FROM events
+          ), e AS (
+            SELECT event_type,
+                   ((CAST(round(value * 100) AS BIGINT) - s.vmn) * 10)
+                     // (s.vmx - s.vmn + 1) AS bin,
+                   CASE WHEN epoch_us(ts) <= s.tmn + (s.tmx - s.tmn) // 2
+                        THEN 0 ELSE 1 END AS half
+            FROM events, s
+          ), c AS (
+            SELECT event_type, bin,
+                   CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c_ref,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c_cur
+            FROM e GROUP BY 1, 2
+          ), t AS (
+            SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur
+            FROM c GROUP BY 1
+          )
+          SELECT c.event_type,
+                 ROUND(SUM((c.c_cur / t.n_cur + 1e-6
+                            - (c.c_ref / t.n_ref + 1e-6))
+                           * ln((c.c_cur / t.n_cur + 1e-6)
+                                / (c.c_ref / t.n_ref + 1e-6))), 4) AS psi,
+                 MAX(t.n_ref) AS n_ref, MAX(t.n_cur) AS n_cur
+          FROM c JOIN t USING (event_type)
+          GROUP BY 1
         """,
         "tfidf_top_terms": """
           WITH toks AS (

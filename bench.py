@@ -179,7 +179,12 @@ def flagship_bucketed_lane(n_turns: int, cores: int = None, runs: int = 3) -> di
     wh = f"/dev/shm/fjs-bench-bkt-wh-{n_turns}" if os.path.isdir("/dev/shm") \
         else os.path.join(tempfile.gettempdir(), f"fjs-bench-bkt-wh-{n_turns}")
     scratch = wh + "-scratch"
-    n_buckets = 16
+    # bucket count scales with input (pure function of n_turns, so the
+    # cached prep under wh stays consistent): ~40k rows/bucket —
+    # measured optimum, BENCH/bucket_sweep_r5.jsonl
+    from fluvio_jolt_spark.sources.tables import suggest_bucket_count
+
+    n_buckets = suggest_bucket_count(n_turns)
     code = f"""
 import sys, time, shutil, json
 from pathlib import Path

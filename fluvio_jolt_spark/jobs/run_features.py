@@ -38,7 +38,12 @@ def main(argv=None) -> int:
     p.add_argument("--snapshots", default="-", help="parquet path, '-' for none/synthetic")
     p.add_argument("--out", required=True)
     p.add_argument("--spec", default=None, help="jolt spec JSON file (default: bench spec)")
-    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument(
+        "--buckets", type=int, default=None,
+        help="bucket count for the bucketed layout / checkpoint manifest "
+        "(default: auto — sources.tables.suggest_bucket_count over the "
+        "input row count, ~40k rows per bucket, power of two, >=16)",
+    )
     p.add_argument("--chunk-rows", type=int, default=8192)
     p.add_argument(
         "--reindex-turns",
@@ -122,6 +127,7 @@ def main(argv=None) -> int:
 
     layout = args.layout
     auto_reason = None
+    n_est = None
     if layout == "auto":
         # Layout auto-selection: an input registered as a bucketed table
         # runs the zero-exchange pipeline outright; otherwise a cheap
@@ -134,10 +140,20 @@ def main(argv=None) -> int:
         else:
             layout, auto_reason = "checkpointed", f"rows={n_est}<threshold"
 
+    buckets_auto = args.buckets is None
+    if buckets_auto:
+        from fluvio_jolt_spark.sources.tables import suggest_bucket_count
+
+        if n_est is None:
+            n_est = turns.count()
+        args.buckets = suggest_bucket_count(n_est)
+
     if layout == "bucketed":
         report = _run_bucketed(spark, turns, snaps, spec_json, args)
         if auto_reason:
             report["layout_auto"] = auto_reason
+        if buckets_auto:
+            report["buckets_auto"] = True
         print(json.dumps(report))
         spark.stop()
         return 0
@@ -173,6 +189,8 @@ def main(argv=None) -> int:
     report["elapsed_s"] = round(time.time() - t0, 3)
     if auto_reason:
         report["layout_auto"] = auto_reason
+    if buckets_auto:
+        report["buckets_auto"] = True
     print(json.dumps(report))
     spark.stop()
     return 0

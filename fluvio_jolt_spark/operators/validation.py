@@ -1,0 +1,148 @@
+"""Dataset-validation operators for feature pipelines — temporal CV
+fold assignment and distribution-drift monitoring, both in exact
+integer arithmetic so results are bit-reproducible across engines.
+
+These extend the engine past the reference's per-record transforms
+(`fluvio-jolt/src/lib.rs:78-88`) into what a training pipeline wraps
+around them: leakage-safe evaluation splits and the drift checks that
+decide when features need re-fitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.epoch import ensure_ltz
+
+
+def _floordiv(a, b):
+    """Exact integer floor-division for non-negative long columns.
+
+    ``a / b`` on longs is double division in both Spark and ANSI SQL,
+    and a true quotient sitting 1/b below an integer can round UP and
+    flip a boundary row between engines. ``(a - a % b) / b`` divides
+    exactly (the numerator is an exact multiple of b), so the double
+    result is the true floor — valid while the numerator stays under
+    2^53 (epoch-µs spans × small fold/bin counts: decades of
+    microseconds × 1000 still fit)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def time_series_folds(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_folds: int = 5,
+    embargo_s: float = 0.0,
+    ts_min_us: int | None = None,
+    ts_max_us: int | None = None,
+) -> DataFrame:
+    """Temporal K-fold assignment with a purge embargo (the de Prado
+    purged-CV scheme): the time range splits into ``n_folds`` equal
+    slices, and a row is flagged ``purged`` when its embargo window
+    crosses the next fold boundary — training on fold k+1 must drop
+    the tail of fold k whose look-ahead features could straddle the
+    split, or the evaluation leaks.
+
+    All arithmetic is int64 on epoch microseconds —
+    ``fold = (ep - mn) * n // (mx - mn + 1)`` — so fold boundaries are
+    exact and engine-reproducible (a float ``floor((ep-mn)/width)``
+    flips rows at boundaries on 1-ulp division differences). The purge
+    test is the same function shifted: ``purged = fold(ep + embargo)
+    > fold(ep)`` (clamped to the last fold, so the corpus tail is
+    never purged).
+
+    Range bounds default to one bounded driver-side min/max aggregate
+    (parquet footer statistics at scan level — catalog stats, the same
+    pattern as TF-IDF's N); callers with a fixed study window pass
+    them explicitly. Map-only: zero shuffle, composes with any
+    downstream filter.
+    """
+    df = ensure_ltz(df, ts_col)
+    ep = F.unix_micros(F.col(ts_col))
+    if ts_min_us is None or ts_max_us is None:
+        row = df.select(
+            F.min(ep).alias("mn"), F.max(ep).alias("mx")
+        ).first()
+        ts_min_us = int(row["mn"]) if ts_min_us is None else ts_min_us
+        ts_max_us = int(row["mx"]) if ts_max_us is None else ts_max_us
+    mn = F.lit(int(ts_min_us))
+    span = F.lit(int(ts_max_us) - int(ts_min_us) + 1)
+    n = F.lit(int(n_folds))
+    last = F.lit(int(n_folds) - 1)
+
+    def fold_of(e):
+        return F.least(_floordiv((e - mn) * n, span), last.cast("long"))
+
+    emb = F.lit(int(round(embargo_s * 1_000_000)))
+    return df.withColumn("fold_id", fold_of(ep)).withColumn(
+        "purged", fold_of(ep + emb) > fold_of(ep)
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    n_bins: int = 10,
+    decimals: int = 2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index of ``value_col`` between the first
+    and second half of the time range, per group — the standard
+    drift monitor for deployed feature pipelines:
+
+        PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref)
+
+    (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 re-fit).
+
+    Bin assignment is exact integer arithmetic: values are scaled to
+    integers at ``decimals`` precision (pass the column's actual
+    precision; lossy for wider values, in which case pre-round) and
+    cut into ``n_bins`` equal-width integer bins over the GLOBAL
+    min/max — fixed-width rather than reference-quantile bins, so the
+    cuts are engine-exact and need no per-group quantile state. ``eps``
+    smooths empty bins (PSI is infinite on a bin one side never
+    populates — the standard additive guard).
+
+    Shape: one map-side pass computes (group, bin, half) counts via
+    partial aggregation; per-group totals and the PSI fold are a
+    second tiny aggregate over at most ``2 * n_bins`` rows per group.
+    Bounds come from one driver-side min/max (catalog stats).
+    """
+    df = ensure_ltz(df, ts_col)
+    gk = list(group_cols or [])
+    scale = 10 ** int(decimals)
+    iv = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    ep = F.unix_micros(F.col(ts_col))
+    row = df.select(
+        F.min(iv).alias("vmn"), F.max(iv).alias("vmx"),
+        F.min(ep).alias("tmn"), F.max(ep).alias("tmx"),
+    ).first()
+    vmn, vspan = int(row["vmn"]), int(row["vmx"]) - int(row["vmn"]) + 1
+    tmid = int(row["tmn"]) + (int(row["tmx"]) - int(row["tmn"])) // 2
+    b = _floordiv((iv - F.lit(vmn)) * F.lit(int(n_bins)), F.lit(vspan))
+    half = F.when(ep <= F.lit(tmid), F.lit(0)).otherwise(F.lit(1))
+
+    counts = (
+        df.select(*gk, b.alias("bin"), half.alias("half"))
+        .groupBy(*gk, "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    tot = counts.groupBy(*gk).agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    joined = counts.join(tot, gk) if gk else counts.crossJoin(F.broadcast(tot))
+    p_ref = F.col("c_ref") / F.col("n_ref") + F.lit(float(eps))
+    p_cur = F.col("c_cur") / F.col("n_cur") + F.lit(float(eps))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    out = joined.groupBy(*gk).agg(
+        F.round(F.sum(term), 4).alias("psi"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+    return out

@@ -64,6 +64,29 @@ class PartitionedParquetSource(TableSource):
         )
 
 
+def suggest_bucket_count(
+    n_rows: int, rows_per_bucket: int = 40_000,
+    min_buckets: int = 16, max_buckets: int = 4096,
+) -> int:
+    """Bucket-count rule for the zero-exchange layout, next power of
+    two of ``n_rows / rows_per_bucket`` clamped to [min, max].
+
+    The bucketed job is one stage of n_buckets tasks, so the bucket
+    count IS the parallelism grain: too few buckets quantizes into
+    task waves whose last wave idles cores (measured directly —
+    BENCH/bucket_sweep_r5.jsonl: at 2.4M turns, 16 buckets = 2 waves
+    on 8 cores reads 0.745 raw 2→8 while 64 buckets = 8 waves reads
+    0.78–0.87 with the campaign's fastest and tightest walls); too
+    many buckets shrinks row groups below efficient scan size. ~40k
+    turn-rows per bucket hits the measured sweet spot and a real
+    cluster-scale table carries thousands of buckets either way."""
+    import math
+
+    raw = max(1, n_rows // max(1, rows_per_bucket))
+    p2 = 1 << max(0, math.ceil(math.log2(raw)))
+    return max(min_buckets, min(max_buckets, p2))
+
+
 class BucketedTableSource(TableSource):
     """Hash-bucketed, sorted managed tables (native data-source
     bucketing — no Hive metastore needed): both sides of an

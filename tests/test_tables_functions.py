@@ -237,3 +237,38 @@ def test_run_features_auto_layout_selects_by_scale(spark, tmp_path):
     report = json.loads(res.stdout.strip().splitlines()[-1])
     assert report.get("layout") != "bucketed"
     assert report["layout_auto"].startswith("rows=2000<")
+
+
+def test_suggest_bucket_count_rule():
+    """~40k rows/bucket, next power of two, clamped to [16, 4096]."""
+    from fluvio_jolt_spark.sources.tables import suggest_bucket_count
+
+    assert suggest_bucket_count(1_000) == 16
+    assert suggest_bucket_count(600_000) == 16
+    assert suggest_bucket_count(2_400_000) == 64
+    assert suggest_bucket_count(10_000_000) == 256
+    assert suggest_bucket_count(10**12) == 4096
+
+
+def test_run_features_auto_bucket_count(spark, tmp_path):
+    """Omitting --buckets derives the count from the input size
+    (suggest_bucket_count) and reports buckets_auto."""
+    import json
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    res = subprocess.run(
+        [
+            sys.executable, "fluvio_jolt_spark/jobs/run_features.py",
+            "--turns", "synthetic:3000",
+            "--out", str(tmp_path / "auto_bkt"),
+            "--layout", "bucketed",
+            "--warehouse", str(tmp_path / "wh"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["buckets_auto"] is True
+    assert report["n_buckets"] == 16  # 3000 rows -> clamp floor
+    assert report["exchanges"] == 0

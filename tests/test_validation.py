@@ -1,0 +1,104 @@
+"""Temporal CV folds (purged) and PSI drift — hand-computed goldens,
+boundary exactness, and drift direction."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fluvio_jolt_spark.operators.validation import psi_drift, time_series_folds
+
+
+def test_time_series_folds_boundaries_and_purge(spark):
+    """10-second range, 5 folds of exactly 2s: fold boundaries land on
+    even seconds; a row within the 1s embargo of the next boundary is
+    purged; the corpus tail (last fold) never purges."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    secs = [0.0, 1.5, 2.0, 3.9, 4.0, 9.99]
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "ts": [base + pd.Timedelta(seconds=s) for s in secs],
+            "i": list(range(len(secs))),
+        })
+    )
+    mn = int(base.timestamp() * 1_000_000)
+    out = (
+        time_series_folds(
+            df, n_folds=5, embargo_s=1.0,
+            ts_min_us=mn, ts_max_us=mn + 10_000_000 - 1,
+        )
+        .toPandas().set_index("i")
+    )
+    assert list(out["fold_id"]) == [0, 0, 1, 1, 2, 4]
+    # 1.5s: embargo reaches 2.5s -> next fold; 3.9 reaches 4.9 -> next;
+    # 0.0 reaches 1.0 (same fold); 2.0 reaches 3.0 (same); 4.0 -> 5.0
+    # is EXACTLY the boundary of fold 2 (5.0*5//10 = 2): not purged;
+    # 9.99 is in the last fold: clamp keeps it unpurged.
+    assert list(out["purged"]) == [False, True, False, True, False, False]
+
+
+def test_time_series_folds_default_bounds(spark):
+    """Bounds default to the frame's own min/max: first row fold 0,
+    last row fold n-1."""
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-03-01", "2024-06-01"]
+            ),
+            "i": [0, 1, 2],
+        })
+    )
+    out = time_series_folds(df, n_folds=3).toPandas().set_index("i")
+    assert out.loc[0, "fold_id"] == 0
+    assert out.loc[2, "fold_id"] == 2
+
+
+def _psi_frame(spark, cur_shift: float):
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # reference half: values 1.00..50.00; current half: shifted
+    for i in range(50):
+        rows.append(("a", base + pd.Timedelta(minutes=i), 1.0 + i))
+    for i in range(50):
+        rows.append(
+            ("a", base + pd.Timedelta(days=1, minutes=i), 1.0 + i + cur_shift)
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    )
+
+
+def test_psi_drift_zero_when_identical(spark):
+    out = psi_drift(
+        _psi_frame(spark, 0.0), "value", "ts", ["event_type"], n_bins=10
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0]["psi"]) < 1e-3
+    assert out[0]["n_ref"] == out[0]["n_cur"] == 50
+
+
+def test_psi_drift_flags_shift(spark):
+    """Current half shifted by half the range: PSI far above the 0.25
+    re-fit threshold, and bigger shift -> bigger PSI."""
+    small = psi_drift(
+        _psi_frame(spark, 10.0), "value", "ts", ["event_type"], n_bins=10
+    ).collect()[0]["psi"]
+    big = psi_drift(
+        _psi_frame(spark, 25.0), "value", "ts", ["event_type"], n_bins=10
+    ).collect()[0]["psi"]
+    assert small > 0.25
+    assert big > small
+
+
+def test_psi_drift_empty_bin_finite(spark):
+    """A bin populated on one side only stays finite via eps smoothing."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [("a", base, 1.0), ("a", base + pd.Timedelta(minutes=1), 1.0),
+            ("a", base + pd.Timedelta(days=1), 100.0),
+            ("a", base + pd.Timedelta(days=1, minutes=1), 100.0)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    )
+    out = psi_drift(df, "value", "ts", ["event_type"], n_bins=4).collect()[0]
+    assert out["psi"] == pytest.approx(out["psi"])  # not NaN
+    assert out["psi"] > 1.0  # complete separation = extreme drift

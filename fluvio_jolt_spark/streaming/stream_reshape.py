@@ -420,6 +420,103 @@ def stream_decayed_activity(
     )
 
 
+def stream_sessionize(
+    stream_df: DataFrame,
+    session_gap_s: int = 1800,
+    key_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming twin of the batch sessionizer: emits per arriving turn
+    the same (session_id, turn_in_session) that
+    ``operators.window_features.with_turn_features`` assigns (0-based
+    gap-threshold sessionization) — at-ingest session features without
+    waiting for the conversation to close (which the native
+    session-window aggregate ``stream_session_agg`` must).
+
+    State per conversation is 3 scalars — (last event epoch µs,
+    session_id, turn_in_session) — independent of conversation length.
+    The gap test is exact integer µs (the batch operator's double
+    division compares identically off the boundary). Parity contract
+    (pinned by test): output equals the batch sessionizer when turns
+    arrive in (turn_idx, ts) order across micro-batches — the
+    transcript ingest order; a turn arriving out of order joins the
+    CURRENT session (its gap is measured against the previously
+    processed turn — exactly the batch lag() semantics, which also
+    covers jittered non-monotone timestamps), where a batch recompute
+    would splice it historically — the same in-order contract as
+    ``stream_decayed_activity``.
+
+    Default NoTimeout: evicting an idle conversation's 3-scalar state
+    would restart its session numbering on revival, so eviction is the
+    caller's explicit choice (pass a GroupStateTimeout and accept
+    renumbering after the horizon).
+
+    Requires a UTC session timezone (same epoch-math contract as the
+    other stateful operators here).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    session_tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            "stream_sessionize requires spark.sql.session.timeZone=UTC "
+            f"(got {session_tz!r}): state epochs are computed from tz-naive "
+            "timestamps interpreted as UTC"
+        )
+
+    key_type = dict(stream_df.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, {idx_col} long, "
+        "session_id long, turn_in_session long"
+    )
+    state_schema = "last_ep long, session_id long, turn_in_session long"
+    gap_us = int(session_gap_s) * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ep, sid, tis = state.get
+        else:
+            last_ep, sid, tis = None, None, None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([idx_col, ts_col], kind="mergesort")
+        ep = pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        idxs = pdf[idx_col].to_numpy()
+        out_sid, out_tis = [], []
+        for k in range(len(pdf)):
+            e = int(ep[k])
+            if last_ep is None:
+                sid, tis = 0, 0
+            elif e - last_ep > gap_us:
+                sid, tis = sid + 1, 0
+            else:
+                tis += 1
+            # lag semantics, exactly as the batch operator: the gap is
+            # measured against the PREVIOUS turn's ts (which may move
+            # backward on jittered timestamps), not the max seen
+            last_ep = e
+            out_sid.append(sid)
+            out_tis.append(tis)
+        state.update((int(last_ep), int(sid), int(tis)))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(pdf),
+                idx_col: [int(i) for i in idxs],
+                "session_id": out_sid,
+                "turn_in_session": out_tis,
+            }
+        )
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )
+
+
 def stream_asof_enrich(
     stream_df: DataFrame,
     snaps: DataFrame,

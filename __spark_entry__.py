@@ -828,6 +828,45 @@ def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set assembly — the composition the engine
+    exists for, in one plan: events as the label spine, point-in-time
+    signup snapshot (as-of, no leakage), expanding target encoding
+    (strict past), distinct-types-seen breadth (strict past), and the
+    forward 24h label window (the ONE forward-looking column, named
+    label_*; NULL = censored, not 0). Every piece is the already-
+    oracled operator; the oracle recomputes the same columns as CTEs
+    joined on event_id. Shuffle shape: event_type window + two
+    user_id-partitioned stages that share their partitioning + the
+    as-of union-window — no joins except the as-of fill."""
+    from fluvio_jolt_spark.operators.asof import asof_join
+    from fluvio_jolt_spark.operators.encoders import (
+        distinct_seen_count,
+        target_encode_expanding,
+    )
+    from fluvio_jolt_spark.operators.window_features import with_forward_label
+
+    ev = _read(spark, sf_dir, "events")
+    x = target_encode_expanding(ev, "event_type", "value", ts_col="ts", m=20.0)
+    x = distinct_seen_count(x, "user_id", "event_type", ts_col="ts",
+                            tie_cols=["event_id"])
+    x = with_forward_label(x, "value", "ts", ("user_id",),
+                           horizon_s=86_400.0)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    x = asof_join(x, signups, on="ts", right_on="snap_ts", by="user_id")
+    return x.select(
+        "event_id",
+        "signup_value",
+        F.round("target_enc", 4).alias("target_enc"),
+        F.col("distinct_seen").cast("long").alias("distinct_seen"),
+        F.round("label_sum", 4).alias("label_sum"),
+        F.col("label_count").cast("long").alias("label_count"),
+    )
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1326,8 +1365,8 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 73-query registry,
-# 23 queries sit out each round and re-enter the window the next round, so
+# block rotates to the tail.  With a 50-row window over a 74-query registry,
+# 24 queries sit out each round and re-enter the window the next round, so
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
@@ -1343,6 +1382,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": _q_unigram_logprob,
     "cv_folds": _q_cv_folds,
     "psi_drift": _q_psi_drift,
+    "training_matrix": _q_training_matrix,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1383,9 +1423,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": _q_tpch_q3,
     "tpch_q5ish": _q_tpch_q5ish,
     "topk_per_group": _q_topk_per_group,
-    "broadcast_join_agg": _q_broadcast_join_agg,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "broadcast_join_agg": _q_broadcast_join_agg,
     "semi_join": _q_semi_join,
     "distinct_union": _q_distinct_union,
     "pivot_event_counts": _q_pivot_event_counts,
@@ -2108,6 +2148,51 @@ def oracle_sql() -> dict[str, str]:
                  MAX(t.n_ref) AS n_ref, MAX(t.n_cur) AS n_cur
           FROM c JOIN t USING (event_type)
           GROUP BY 1
+        """,
+        "training_matrix": """
+          WITH te AS (
+            SELECT event_id,
+                   ROUND((COALESCE(SUM(value) OVER w, 0)
+                          + 20 * (SELECT AVG(value) FROM events))
+                         / (COUNT(value) OVER w + 20), 4) AS target_enc
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          ), fl AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN row_number() OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY epoch_us(ts), event_id) = 1
+                        THEN 1 ELSE 0 END AS flag
+            FROM events
+          ), ds AS (
+            SELECT event_id,
+                   CAST(COALESCE(SUM(flag) OVER (
+                          PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS distinct_seen
+            FROM fl
+          ), lbl AS (
+            SELECT event_id,
+                   ROUND(SUM(value) OVER v, 4) AS label_sum,
+                   CAST(COUNT(value) OVER v AS BIGINT) AS label_count
+            FROM events
+            WINDOW v AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 1 FOLLOWING
+                         AND 86400000000 FOLLOWING)
+          ), asf AS (
+            SELECT e.event_id, s.signup_value
+            FROM events e
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, value AS signup_value
+              FROM events WHERE event_type = 'signup'
+            ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+          )
+          SELECT e.event_id, asf.signup_value, te.target_enc,
+                 ds.distinct_seen, lbl.label_sum, lbl.label_count
+          FROM events e
+          JOIN te USING (event_id) JOIN ds USING (event_id)
+          JOIN lbl USING (event_id) JOIN asf USING (event_id)
         """,
         "tfidf_top_terms": """
           WITH toks AS (

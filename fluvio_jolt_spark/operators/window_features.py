@@ -247,3 +247,38 @@ def backfill(
     else:
         raise ValueError(f"direction must be forward|backward, got {direction!r}")
     return df.withColumn(value_col + "_filled", filled)
+
+
+def with_forward_label(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    partition_cols=("user_id",),
+    horizon_s: float = 86_400.0,
+    out_prefix: str = "label",
+) -> DataFrame:
+    """Forward label extraction — the ONE deliberately forward-looking
+    computation in a training pipeline, named ``label_*`` like the
+    ``lead_*`` features (everything unprefixed is backward-only; the
+    zero-temporal-leakage rule): per row, sum and count of
+    ``value_col`` over the half-open future window (t, t + horizon]
+    within the partition. NULL sum when no future rows exist — an
+    unknowable label is absent, not 0 (the tail rows inside the last
+    horizon are censored; training code drops or special-cases them).
+
+    Exact integer-µs RANGE frame (1 .. horizon µs following), so the
+    window bounds are engine-reproducible. One shuffle on the
+    partition cols — and it re-uses the partitioning of any preceding
+    backward feature windows over the same entity.
+    """
+    df = ensure_ltz(df, ts_col)
+    pk = list(partition_cols)
+    e = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*pk)
+        .orderBy(e)
+        .rangeBetween(1, int(round(horizon_s * 1_000_000)))
+    )
+    return df.withColumn(f"{out_prefix}_sum", F.sum(value_col).over(w)).withColumn(
+        f"{out_prefix}_count", F.count(value_col).over(w)
+    )

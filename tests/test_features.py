@@ -380,3 +380,33 @@ def test_decayed_sum_no_leakage(spark):
     )
     for rid, v in base_vals.items():
         assert with_future[rid] == pytest.approx(v, rel=1e-12)
+
+
+def test_forward_label_half_open_window(spark):
+    """label_(t, t+h]: own row excluded, row exactly at t+h included,
+    censored tail (no future rows) = NULL sum / 0 count."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.window_features import with_forward_label
+
+    base = pd.Timestamp("2024-01-01")
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "user_id": [1] * 4,
+            "ts": [base,
+                   base + pd.Timedelta(seconds=3600),   # exactly t0 + h
+                   base + pd.Timedelta(seconds=3601),   # 1s past t0 + h
+                   base + pd.Timedelta(seconds=9000)],
+            "value": [100.0, 10.0, 20.0, 40.0],
+            "i": [0, 1, 2, 3],
+        })
+    )
+    out = (
+        with_forward_label(df, "value", "ts", ("user_id",), horizon_s=3600.0)
+        .toPandas().set_index("i")
+    )
+    assert out.loc[0, "label_sum"] == 10.0       # inclusive at t+h; 3601 out
+    assert out.loc[1, "label_sum"] == 20.0       # own row never counted
+    assert out.loc[2, "label_count"] == 0        # 9000-3601 > 3600
+    assert pd.isna(out.loc[2, "label_sum"])      # censored = NULL, not 0
+    assert pd.isna(out.loc[3, "label_sum"])      # corpus tail censored

@@ -867,6 +867,51 @@ def _q_training_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Markov transition matrix of the per-user event-type
+    sequence — operators.window_features.state_transition_matrix, the
+    transcripts role-transition feature applied to the driver's events
+    table (entity=user, state=event_type). One lag window on the
+    entity key + a partial-agg'd groupBy whose output is |states|^2
+    rows; the row-normalizer is a window over the tiny matrix itself."""
+    from fluvio_jolt_spark.operators.window_features import state_transition_matrix
+
+    ev = _read(spark, sf_dir, "events")
+    return state_transition_matrix(
+        ev, entity_col="user_id", state_col="event_type",
+        order_cols=("ts", "event_id"),
+    )
+
+
+def _q_source_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-granularity near-dup candidates (md5 oracle family):
+    minhash over the union of each source's document shingle sets via
+    elementwise-min of per-doc signatures — dedup at conversation /
+    domain granularity without ever concatenating member texts (the
+    union-min identity makes the group signature one map-side-combining
+    hash aggregate of k longs). Same banded self-join + bucket-cap
+    contract as the per-document lane."""
+    from fluvio_jolt_spark.operators.dedup import group_minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    return group_minhash_lsh_candidates(
+        docs, group_col="source", num_hashes=16, bands=8,
+        hash_family="md5", bucket_cap=LSH_BUCKET_CAP,
+    )
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy + type-token ratio — the
+    information-density quality filter (operators.text_analysis.
+    token_entropy). Strictly per-document: the two aggregates share the
+    doc-key shuffle; ln() only ever sees exact integer counts, so
+    round(.,4) absorbs the last-ulp libm noise."""
+    from fluvio_jolt_spark.operators.text_analysis import token_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1370,6 +1415,9 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
+    "event_transitions": _q_event_transitions,
+    "source_near_dup": _q_source_near_dup,
+    "token_entropy": _q_token_entropy,
     "video_features": _q_video_features,
     "decayed_activity": _q_decayed_activity,
     "repetition_stats": _q_repetition_stats,
@@ -1420,11 +1468,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sampling": _q_media_frame_sampling,
     "image_features_real": _q_image_features_real,
     "tpch_q1": _q_tpch_q1,
+    # --- checked in round 4 and code-unchanged since: this round's
+    # rotated-out block (re-enters the window in round 6) ---
     "tpch_q3": _q_tpch_q3,
     "tpch_q5ish": _q_tpch_q5ish,
     "topk_per_group": _q_topk_per_group,
-    # --- checked in round 4 and code-unchanged since: this round's
-    # rotated-out block (re-enters the window in round 6) ---
     "broadcast_join_agg": _q_broadcast_join_agg,
     "semi_join": _q_semi_join,
     "distinct_union": _q_distinct_union,
@@ -1496,6 +1544,7 @@ def _minhash_oracle(
     shingle_n: int = 3,
     bucket_cap: "int | None" = None,
     source: str = "documents",
+    group_col: "str | None" = None,
 ) -> str:
     from fluvio_jolt_spark.operators.dedup import md5_rot_pair
 
@@ -1509,18 +1558,31 @@ def _minhash_oracle(
         )
 
     members = ",\n                 ".join(member(i) for i in range(num_hashes))
+    # group-level variant: elementwise-min of the per-row signatures by
+    # the group key (== minhash of the union of member shingle sets),
+    # mirroring dedup.group_minhash_signatures
+    band_src = "sig"
+    group_cte = ""
+    if group_col is not None:
+        gmins = ", ".join(f"MIN(m{i}) AS m{i}" for i in range(num_hashes))
+        group_cte = (
+            f", gsig AS (\n            SELECT {group_col} AS doc_id, {gmins}"
+            f" FROM sig GROUP BY {group_col}\n          )"
+        )
+        band_src = "gsig"
+    id_sel = "doc_id" if group_col is None else f"doc_id, {group_col}"
     band_selects = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, {b} AS band, "
         + " || ',' || ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
-        + " AS bucket FROM sig"
+        + f" AS bucket FROM {band_src}"
         for b in range(bands)
     )
     n = shingle_n
     return f"""
           WITH w AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM {source}
+            SELECT {id_sel}, string_split(text, ' ') AS w FROM {source}
           ), sh AS (
-            SELECT doc_id,
+            SELECT {id_sel},
                    CASE WHEN len(w) >= {n}
                         THEN list_distinct(list_transform(
                                range(1, len(w) - {n} + 2),
@@ -1528,15 +1590,15 @@ def _minhash_oracle(
                         ELSE [array_to_string(w, ' ')] END AS shingles
             FROM w
           ), hx AS (
-            SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hx FROM sh
+            SELECT {id_sel}, list_transform(shingles, s -> md5(s)) AS hx FROM sh
           ), halves AS (
-            SELECT doc_id,
+            SELECT {id_sel},
                    list_transform(hx, x -> ('0x' || substr(x, 1, 15))::BIGINT) AS h1,
                    list_transform(hx, x -> ('0x' || substr(x, 16, 15))::BIGINT) AS h2
             FROM hx
           ), sig AS (
-            SELECT doc_id, {members} FROM halves
-          ), bands AS (
+            SELECT {id_sel}, {members} FROM halves
+          ){group_cte}, bands AS (
             {band_selects}
           ), kept AS (
             SELECT * FROM bands
@@ -2376,6 +2438,41 @@ def oracle_sql() -> dict[str, str]:
             bucket_cap=LSH_BUCKET_CAP,
         ),
         "lsh_jaccard_near_dup": _lsh_jaccard_oracle(threshold=0.5),
+        "source_near_dup": _minhash_oracle(
+            num_hashes=16, bands=8, shingle_n=3,
+            bucket_cap=LSH_BUCKET_CAP, group_col="source",
+        ),
+        "event_transitions": """
+          WITH seq AS (
+            SELECT event_type AS state,
+                   LAG(event_type) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts NULLS FIRST, event_id
+                   ) AS prev_state
+            FROM events
+          ), counts AS (
+            SELECT prev_state, state, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq GROUP BY prev_state, state
+          )
+          SELECT prev_state, state, n,
+                 ROUND(n / SUM(n) OVER (PARTITION BY prev_state), 4) AS frac
+          FROM counts
+        """,
+        "token_entropy": """
+          WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+          ), counts AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+          )
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS ttr,
+                 ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                       - SUM(c * ln(c)) / CAST(SUM(c) AS DOUBLE), 4) AS entropy
+          FROM counts GROUP BY doc_id
+        """,
         "dup_clusters": _dup_clusters_oracle(),
         "ann_lsh_topk": _ann_oracle(),
         "ann_batch_topk": _ann_batch_oracle(),

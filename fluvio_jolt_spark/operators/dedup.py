@@ -220,10 +220,28 @@ def minhash_lsh_candidates(
     mass-duplicated document cannot make a single bucket quadratic —
     see ``_cap_buckets`` for the recall contract. At corpus scale,
     compose with exact-dedup-first (``near_dup_candidates_scaled``)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
+    return lsh_candidates_from_signatures(
+        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        hash_family=hash_family, bucket_cap=bucket_cap,
+    )
+
+
+def lsh_candidates_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """Band/bucket/self-join stage of minhash LSH over precomputed
+    signatures (a ``minhash`` array<long> column) — shared by the
+    per-document path (``minhash_lsh_candidates``) and the group-level
+    path (``group_minhash_lsh_candidates``)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_family)
     if hash_family == "md5":
         band_cols = [
             F.concat_ws(",", *[
@@ -262,6 +280,60 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def group_minhash_signatures(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Minhash signature of a GROUP of texts (a conversation's turns, a
+    crawl domain's pages) without ever concatenating the member texts.
+
+    min over the union of shingle sets == elementwise min of the
+    members' signatures, so the group signature is one hash-aggregate
+    over per-row signatures: ``groupBy(group).agg(min(sig[i]) ...)``.
+    Partial (map-side) aggregation applies — at 10^12 turns the shuffle
+    carries only k longs per group per map partition, never text. This
+    is the conversation-granularity dedup primitive for transcript
+    corpora (per-turn near-dup misses conversations duplicated as a
+    whole; concatenating turns would shuffle the full payload).
+
+    Returns (group_col, minhash array<long>)."""
+    sigs = minhash_signatures(
+        df, text_col, group_col, num_hashes, shingle_n, hash_family
+    )
+    return sigs.groupBy(group_col).agg(
+        F.array(
+            *[F.min(F.element_at("minhash", i + 1)) for i in range(num_hashes)]
+        ).alias("minhash")
+    )
+
+
+def group_minhash_lsh_candidates(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """Near-duplicate GROUP pairs (id_a < id_b on the group key): LSH
+    banding over union-of-members signatures from
+    ``group_minhash_signatures``. Same banded equi-self-join and
+    bucket-cap contract as the per-document path."""
+    sigs = group_minhash_signatures(
+        df, group_col, text_col, num_hashes, shingle_n, hash_family
+    )
+    return lsh_candidates_from_signatures(
+        sigs, id_col=group_col, num_hashes=num_hashes, bands=bands,
+        hash_family=hash_family, bucket_cap=bucket_cap,
+    )
 
 
 def jaccard_verify(

@@ -335,3 +335,40 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(F.round(F.avg(lp), 4).alias("unigram_logprob"))
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus the
+    type-token ratio — the information-density quality signals: spam /
+    keyword-stuffed / template text has low entropy and low TTR for its
+    length, while natural prose sits in a narrow band (a standard
+    pre-training corpus filter alongside the Gopher repetition rules in
+    ``with_repetition_stats``).
+
+    H(d) = -sum_t p_t ln p_t over the doc's token counts, computed in
+    the numerically-stable single-division form ln(n) - sum(c ln c)/n
+    so every ln argument is an exact integer count (cross-engine float
+    noise enters only in the final few ops; round(.,decimals) absorbs
+    it). ttr = distinct/total tokens.
+
+    100-TB shape: explode → groupBy (doc, token) → groupBy doc; both
+    aggregates partial-combine map-side and share the doc-key shuffle
+    (the second groupBy's key is a prefix of the first's). No joins, no
+    broadcast, no vocabulary table — strictly per-document work.
+
+    Returns (id_col, n_tokens, n_distinct, ttr, entropy)."""
+    toks = df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    c_ln_c = F.sum(F.col("c") * F.log(F.col("c")))
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / n, decimals).alias("ttr"),
+        F.round(F.log(n) - c_ln_c / n, decimals).alias("entropy"),
+    )

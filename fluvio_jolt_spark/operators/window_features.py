@@ -282,3 +282,47 @@ def with_forward_label(
     return df.withColumn(f"{out_prefix}_sum", F.sum(value_col).over(w)).withColumn(
         f"{out_prefix}_count", F.count(value_col).over(w)
     )
+
+
+def state_transition_matrix(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    state_col: str = "role",
+    order_cols=("turn_idx", "ts"),
+    decimals: int = 4,
+) -> DataFrame:
+    """Corpus-level Markov transition matrix of an ordered per-entity
+    state sequence: for transcripts, how often does a ``user`` turn
+    follow an ``assistant`` turn, a ``tool`` turn follow an
+    ``assistant`` turn, and so on — the structural signature of a
+    conversation corpus (role-alternation health, tool-loop detection,
+    truncated-dialog drift between corpus snapshots).
+
+    Returns (prev_state, state, n, frac) where ``frac`` is the
+    row-normalized transition probability P(state | prev_state),
+    rounded. The first turn of each entity (no predecessor) appears
+    under prev_state = NULL — kept, because the start-of-conversation
+    distribution is itself a feature.
+
+    Shuffle shape at 10^12 turns: ONE hash-partition + sort on the
+    entity key for the lag window (shared with any other per-entity
+    window stage in the same plan), then a partial-agg'd groupBy on the
+    (prev_state, state) pair — the second shuffle carries only
+    |states|^2 rows per map partition. The row-normalizing total is a
+    window over prev_state on the already-tiny matrix, not a second
+    pass over the data."""
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = df.select(
+        F.lag(state_col).over(w).alias("prev_state"),
+        F.col(state_col).alias("state"),
+    )
+    counts = pairs.groupBy("prev_state", "state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), decimals).alias("frac"),
+    )

@@ -470,3 +470,97 @@ def test_connected_components_nonconvergence_raises(spark):
         for r in connected_components(edges, max_iter=10).collect()
     }
     assert set(ok.values()) == {0}
+
+
+# ------------------------------------------------------- group minhash
+
+
+def _mk_groups(spark):
+    """Synthetic turn-shaped corpus: conv A and B are whole-conversation
+    duplicates (same member texts), C is A permuted across rows, D is
+    disjoint."""
+    import pandas as pd
+
+    turns = {
+        "A": ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+              "lam mu nu xi omicron"],
+        "B": ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+              "lam mu nu xi omicron"],
+        "C": ["lam mu nu xi omicron", "alpha beta gamma delta epsilon",
+              "zeta eta theta iota kappa"],
+        "D": ["pi rho sigma tau upsilon", "phi chi psi omega aleph",
+              "beth gimel daleth he vav"],
+    }
+    rows = [
+        {"conv_id": g, "text": t}
+        for g, texts in turns.items()
+        for t in texts
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_group_minhash_signature_is_union_min(spark, family):
+    """Group signature == elementwise min over member signatures, and is
+    invariant to member row order (min is commutative) — the property
+    that makes conversation-level dedup a plain hash aggregate."""
+    from fluvio_jolt_spark.operators.dedup import (
+        group_minhash_signatures,
+        minhash_signatures,
+    )
+
+    df = _mk_groups(spark)
+    gsig = {
+        r["conv_id"]: r["minhash"]
+        for r in group_minhash_signatures(
+            df, "conv_id", num_hashes=16, hash_family=family
+        ).collect()
+    }
+    per_row = minhash_signatures(
+        df, "text", "conv_id", num_hashes=16, hash_family=family
+    ).collect()
+    by_group: dict = {}
+    for r in per_row:
+        by_group.setdefault(r["conv_id"], []).append(r["minhash"])
+    for g, sigs in by_group.items():
+        expect = [min(s[i] for s in sigs) for i in range(16)]
+        assert gsig[g] == expect
+    # duplicate conversations, any row order -> identical signatures
+    assert gsig["A"] == gsig["B"] == gsig["C"]
+    assert gsig["A"] != gsig["D"]
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_group_minhash_lsh_pairs_duplicate_conversations(spark, family):
+    from fluvio_jolt_spark.operators.dedup import group_minhash_lsh_candidates
+
+    df = _mk_groups(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in group_minhash_lsh_candidates(
+            df, "conv_id", num_hashes=16, bands=8, hash_family=family
+        ).collect()
+    }
+    assert {("A", "B"), ("A", "C"), ("B", "C")} <= pairs
+    assert not any("D" in p for p in pairs)
+
+
+def test_group_minhash_bucket_cap(spark):
+    """A mass-duplicated conversation cluster is tamed by the same
+    bucket-cap contract as the per-document lane."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.dedup import group_minhash_lsh_candidates
+
+    rows = [
+        {"conv_id": f"g{i}", "text": t}
+        for i in range(40)
+        for t in ["same turn text every time", "identical second turn here"]
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    capped = group_minhash_lsh_candidates(
+        df, "conv_id", num_hashes=16, bands=8, bucket_cap=8
+    )
+    assert capped.count() == 0  # every bucket over cap -> dropped
+    uncapped = group_minhash_lsh_candidates(df, "conv_id", num_hashes=16, bands=8)
+    assert uncapped.count() == 40 * 39 // 2

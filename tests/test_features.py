@@ -410,3 +410,29 @@ def test_forward_label_half_open_window(spark):
     assert out.loc[2, "label_count"] == 0        # 9000-3601 > 3600
     assert pd.isna(out.loc[2, "label_sum"])      # censored = NULL, not 0
     assert pd.isna(out.loc[3, "label_sum"])      # corpus tail censored
+
+
+def test_state_transition_matrix_hand_computed(spark):
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.window_features import (
+        state_transition_matrix,
+    )
+
+    rows = []
+    for conv, roles in [
+        ("c1", ["user", "assistant", "user", "assistant"]),
+        ("c2", ["user", "tool"]),
+    ]:
+        for i, r in enumerate(roles):
+            rows.append({"conv_id": conv, "turn_idx": i, "ts": i, "role": r})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r["prev_state"], r["state"]): (r["n"], r["frac"])
+        for r in state_transition_matrix(df).collect()
+    }
+    assert got[(None, "user")] == (2, 1.0)
+    assert got[("user", "assistant")] == (2, round(2 / 3, 4))
+    assert got[("user", "tool")] == (1, round(1 / 3, 4))
+    assert got[("assistant", "user")] == (1, 1.0)
+    assert len(got) == 4

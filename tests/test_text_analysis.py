@@ -229,3 +229,42 @@ def test_unigram_logprob_oov_floor(spark):
     assert got[1] == round((lp_the + lp_oov) / 2, 4)
     assert got[2] == round((lp_the + lp_oov) / 2, 4)
     assert got[3] == round(lp_oov, 4)
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+    import pandas as pd
+    from fluvio_jolt_spark.operators.text_analysis import token_entropy
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a a b b", "a a a a", "x"],
+        })
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    # uniform over 2 types -> ln 2; constant -> 0; singleton -> 0
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 2
+    assert rows[1]["ttr"] == 0.5
+    assert rows[1]["entropy"] == round(math.log(2), 4)
+    assert rows[2]["entropy"] == 0.0 and rows[2]["ttr"] == 0.25
+    assert rows[3]["n_tokens"] == 1 and rows[3]["entropy"] == 0.0
+
+
+def test_token_entropy_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from fluvio_jolt_spark.operators.text_analysis import token_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    for row in docs.collect():
+        c = Counter(row["text"].split(" "))
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        g = got[row["doc_id"]]
+        assert g["n_tokens"] == n
+        assert g["n_distinct"] == len(c)
+        assert abs(g["entropy"] - h) < 1.1e-4
+        assert abs(g["ttr"] - len(c) / n) < 1.1e-4

@@ -561,6 +561,74 @@ def stream_asof_enrich(
     return q
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ev_ts",
+    lower_s: float = 0.0,
+    upper_s: float = 300.0,
+    watermark_delay: str = "10 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream join of two live sources on an equality key plus an
+    event-time interval: left row l pairs with right rows r where
+    ``r.key == l.key`` and ``l.ts + lower <= r.ev_ts <= l.ts + upper``
+    — e.g. transcript turns joined to the tool-result/telemetry events
+    they triggered within the next five minutes, while BOTH sides are
+    still flowing.
+
+    This is Spark's native watermarked stream-stream join, not a
+    foreachBatch emulation (``stream_asof_enrich`` covers the
+    stream-against-static case): the time-interval condition plus the
+    two watermarks let the engine compute, per side, exactly how long a
+    buffered row can still find a partner, and evict state past that
+    bound — the property that makes the join runnable forever at
+    10^12-turn scale. Without the interval bounds the state would grow
+    without limit (Spark would reject outer variants outright).
+
+    Late rows (event time older than watermark - delay) are dropped by
+    the watermark on ingestion, so ``watermark_delay`` is the
+    correctness/state-size dial: delay >= the real out-of-orderness
+    bound makes streaming output equal the batch join (pinned by the
+    batch-parity test).
+
+    ``join_type``: "inner" (default) or "leftOuter" — outer emits
+    unmatched left rows with NULL right columns once the watermark
+    proves no partner can arrive (left rows must carry the watermark
+    column; Spark enforces the bounds).
+
+    Right-side columns are emitted under their own names; the right key
+    column is renamed ``<key>_r`` so callers see both join keys."""
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+    if hi_us < lo_us:
+        raise ValueError("upper_s must be >= lower_s")
+    l = left.withWatermark(left_ts, watermark_delay).alias("l")
+    r = (
+        right.withColumnRenamed(key, f"{key}_r")
+        .withWatermark(right_ts, watermark_delay)
+        .alias("r")
+    )
+    # The range predicate must be direct timestamp +/- INTERVAL
+    # arithmetic on the two event-time columns: that is the shape
+    # Spark's stream-stream join planner pattern-matches to derive the
+    # per-side state-eviction watermarks (unix_micros() arithmetic is
+    # semantically identical but opaque to that analysis, which would
+    # leave inner-join state unbounded and reject outer joins).
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}_r"))
+        & F.expr(
+            f"r.{right_ts} >= l.{left_ts} + INTERVAL {lo_us} MICROSECOND"
+        )
+        & F.expr(
+            f"r.{right_ts} <= l.{left_ts} + INTERVAL {hi_us} MICROSECOND"
+        )
+    )
+    return l.join(r, cond, join_type)
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query synchronously to completion over the
     currently-available input (test/demo harness)."""

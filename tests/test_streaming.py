@@ -677,3 +677,59 @@ def test_stream_interval_join_state_bound_in_plan(spark, tmp_path):
     assert spark.sql("SELECT count(*) FROM sb_out").collect()[0][0] == 1
     prog = q.lastProgress
     assert prog is not None and len(prog["stateOperators"]) >= 1
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter stream-stream join: a left turn with no right partner
+    is emitted with NULL right columns once the watermark proves no
+    partner can still arrive (a final high-ts right batch pushes the
+    watermark past the bound)."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.streaming.stream_reshape import (
+        run_stream_to_memory,
+        stream_interval_join,
+    )
+
+    def ts(s):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+
+    turns = pd.DataFrame(
+        [("c0", 0, ts(0)), ("c1", 0, ts(10)), ("c8", 9, ts(100_000))],
+        columns=["conv_id", "turn_idx", "ts"],
+    )
+    events = pd.DataFrame(
+        [
+            ("c0", "hit", ts(100)),
+            ("c9", "wm_push", ts(100_000)),
+        ],
+        columns=["conv_id", "ev_name", "ev_ts"],
+    )
+    # the global watermark is min(left wm, right wm), so BOTH sides need
+    # a far-future watermark-pusher row before unmatched-left emission
+    lsrc, rsrc = tmp_path / "lo_l", tmp_path / "lo_r"
+    _write_batch_dir(spark, turns.iloc[:2], lsrc / "part0", 0)
+    _write_batch_dir(spark, turns.iloc[2:], lsrc / "part1", 1)
+    _write_batch_dir(spark, events.iloc[:1], rsrc / "part0", 0)
+    _write_batch_dir(spark, events.iloc[1:], rsrc / "part1", 1)
+    lstream = (
+        spark.readStream.schema("conv_id string, turn_idx long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(lsrc) + "/part*")
+    )
+    rstream = (
+        spark.readStream.schema("conv_id string, ev_name string, ev_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(rsrc) + "/part*")
+    )
+    out = stream_interval_join(
+        lstream, rstream, key="conv_id", lower_s=0.0, upper_s=300.0,
+        watermark_delay="5 seconds", join_type="leftOuter",
+    )
+    run_stream_to_memory(out, "lo_out")
+    got = {
+        (r["conv_id"], r["ev_name"])
+        for r in spark.sql("SELECT conv_id, ev_name FROM lo_out").collect()
+    }
+    assert ("c0", "hit") in got
+    assert ("c1", None) in got  # unmatched left row emitted with NULLs

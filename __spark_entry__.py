@@ -912,6 +912,29 @@ def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(docs)
 
 
+def _q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-cluster similarity matrix: mean-pool a centroid per label
+    (partial-agg'd posexplode — O(groups*dims) shuffle regardless of
+    row count) and score all label pairs by cosine via the bounded-
+    collect + exploded-literal pattern (no BroadcastNestedLoopJoin).
+    operators.similarity.group_centroids / centroid_pairwise_cosine."""
+    from fluvio_jolt_spark.operators.similarity import (
+        centroid_pairwise_cosine,
+        group_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = group_centroids(emb, group_col="label")
+    out = centroid_pairwise_cosine(cent, group_col="label")
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "cos_sim",
+    )
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1418,6 +1441,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": _q_event_transitions,
     "source_near_dup": _q_source_near_dup,
     "token_entropy": _q_token_entropy,
+    "label_centroid_sim": _q_label_centroid_sim,
     "video_features": _q_video_features,
     "decayed_activity": _q_decayed_activity,
     "repetition_stats": _q_repetition_stats,
@@ -1467,9 +1491,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
     "image_features_real": _q_image_features_real,
-    "tpch_q1": _q_tpch_q1,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q5ish": _q_tpch_q5ish,
     "topk_per_group": _q_topk_per_group,
@@ -2472,6 +2496,37 @@ def oracle_sql() -> dict[str, str]:
                  ROUND(ln(CAST(SUM(c) AS DOUBLE))
                        - SUM(c * ln(c)) / CAST(SUM(c) AS DOUBLE), 4) AS entropy
           FROM counts GROUP BY doc_id
+        """,
+        "label_centroid_sim": """
+          WITH ex AS (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE))) AS v
+            FROM embeddings
+          ), per AS (
+            SELECT label, pos, AVG(v) AS v FROM ex GROUP BY label, pos
+          ), cnt AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label
+          ), cent AS (
+            SELECT label, array_agg(v ORDER BY pos) AS c
+            FROM per GROUP BY label
+          )
+          SELECT a.label AS group_a, b.label AS group_b,
+                 na.n AS n_a, nb.n AS n_b,
+                 ROUND(
+                   list_sum(list_transform(range(1, len(a.c) + 1),
+                                           i -> a.c[i] * b.c[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(a.c) + 1),
+                                                   i -> a.c[i] * a.c[i])))
+                      * sqrt(list_sum(list_transform(range(1, len(b.c) + 1),
+                                                     i -> b.c[i] * b.c[i])))),
+                   4) AS cos_sim
+          FROM cent a
+          JOIN cent b ON a.label < b.label
+          JOIN cnt na ON na.label = a.label
+          JOIN cnt nb ON nb.label = b.label
         """,
         "dup_clusters": _dup_clusters_oracle(),
         "ann_lsh_topk": _ann_oracle(),

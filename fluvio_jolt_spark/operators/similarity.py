@@ -360,3 +360,87 @@ def ivf_topk(
     return cosine_topk(
         assigned.filter(F.col("ivf_cluster").isin(probe)), query, k, vec_col, id_col
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool (centroid/prototype) vector per group — the cluster
+    summarization primitive: class prototypes for semantic diversity
+    metrics, cluster centers for dedup triage, mean-pooled
+    conversation/source embeddings for corpus-level similarity.
+
+    Shape at 10^12 rows: posexplode to (group, pos, component) and
+    partial-agg'd avg keyed by (group, pos) — the shuffle carries one
+    partial (sum, count) pair per (group, pos) per map partition, i.e.
+    O(|groups| * dims) per task regardless of row count. Reassembly
+    sorts the <= dims collected structs per group. No joins, no
+    Python.
+
+    Returns (group_col, n, centroid array<double>)."""
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "v"),
+    )
+    per = ex.groupBy(group_col, "pos").agg(
+        F.avg("v").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy(group_col).agg(
+        F.max(F.when(F.col("pos") == 0, F.col("n"))).alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("centroid"),
+    )
+
+
+def centroid_pairwise_cosine(
+    centroids_df: DataFrame,
+    group_col: str = "label",
+    decimals: int = 4,
+) -> DataFrame:
+    """All-pairs cosine similarity among group centroids (group_a <
+    group_b) — the inter-cluster similarity matrix.
+
+    The centroid table is bounded by the number of GROUPS (classes,
+    clusters), not rows, so it is collected driver-side (same bounded-
+    collect contract as the IVF centroid sample) and re-attached as an
+    exploded literal array: a map-side explode+filter, NO join node —
+    a naive `a.group < b.group` theta-self-join would plan as a
+    BroadcastNestedLoopJoin, which the repo's plan-hygiene gate
+    rejects. O(k^2) pairs stay distributed across the k-row frame."""
+    rows = centroids_df.select(group_col, "n", "centroid").collect()
+    lit_rows = F.array(*[
+        F.struct(
+            F.lit(r[group_col]).alias("g"),
+            F.lit(int(r["n"])).alias("n"),
+            F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+        )
+        for r in rows
+    ])
+    paired = (
+        centroids_df.withColumn("_b", F.explode(lit_rows))
+        .filter(F.col(group_col) < F.col("_b.g"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("centroid"), F.col("_b.c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))
+
+    return paired.select(
+        F.col(group_col).alias("group_a"),
+        F.col("_b.g").alias("group_b"),
+        F.col("n").alias("n_a"),
+        F.col("_b.n").alias("n_b"),
+        F.round(
+            dot / (_norm(F.col("centroid")) * _norm(F.col("_b.c"))), decimals
+        ).alias("cos_sim"),
+    )

@@ -564,3 +564,48 @@ def test_group_minhash_bucket_cap(spark):
     assert capped.count() == 0  # every bucket over cap -> dropped
     uncapped = group_minhash_lsh_candidates(df, "conv_id", num_hashes=16, bands=8)
     assert uncapped.count() == 40 * 39 // 2
+
+
+# --------------------------------------------------- group centroids
+
+
+def test_group_centroids_match_numpy(spark, emb):
+    from fluvio_jolt_spark.operators.similarity import group_centroids
+
+    got = {
+        r["label"]: (r["n"], np.array(r["centroid"]))
+        for r in group_centroids(emb, group_col="label").collect()
+    }
+    pdf = emb.toPandas()
+    for lab, grp in pdf.groupby("label"):
+        v = np.stack(grp["embedding"].map(np.asarray)).astype(np.float64)
+        n, c = got[lab]
+        assert n == len(grp)
+        assert np.allclose(c, v.mean(axis=0), atol=1e-12)
+
+
+def test_centroid_pairwise_cosine_matches_numpy(spark, emb):
+    from fluvio_jolt_spark.operators.similarity import (
+        centroid_pairwise_cosine,
+        group_centroids,
+    )
+
+    cent = group_centroids(emb, group_col="label")
+    got = {
+        (r["group_a"], r["group_b"]): r["cos_sim"]
+        for r in centroid_pairwise_cosine(cent, group_col="label").collect()
+    }
+    pdf = emb.toPandas()
+    cents = {
+        lab: np.stack(grp["embedding"].map(np.asarray)).astype(np.float64).mean(0)
+        for lab, grp in pdf.groupby("label")
+    }
+    labs = sorted(cents)
+    n_pairs = 0
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            ca, cb = cents[a], cents[b]
+            want = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+            assert abs(got[(a, b)] - want) < 1.1e-4
+            n_pairs += 1
+    assert len(got) == n_pairs

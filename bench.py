@@ -122,6 +122,7 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
     from pyspark.sql import functions as F
 
     from fluvio_jolt_spark.operators.dedup import (
+        group_minhash_lsh_candidates,
         jaccard_verify,
         minhash_lsh_candidates,
         near_dup_candidates_scaled,
@@ -159,6 +160,10 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
             docs, num_hashes=16, bands=8, hash_family="xxhash64", bucket_cap=cap
         ),
         "contamination_check": _contamination,
+        "source_near_dup": lambda: group_minhash_lsh_candidates(
+            docs, group_col="source", num_hashes=16, bands=8,
+            hash_family="xxhash64", bucket_cap=cap,
+        ),
     }
     return {
         name: _median_run(

@@ -935,6 +935,32 @@ def _q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health scan (mojibake/binary-junk filter): non-ASCII
+    count+ratio, C0 control characters, U+FFFD decode tombstones —
+    operators.text_analysis.with_charset_stats. Pure regexp_count scan,
+    zero shuffle; the driver corpus is clean ASCII so the gate pins the
+    all-clean values; the planted-mojibake unit test carries the
+    positive cases."""
+    from fluvio_jolt_spark.operators.text_analysis import with_charset_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_charset_stats(docs).select(
+        "doc_id", "n_non_ascii", "ascii_ratio", "n_control", "n_replacement"
+    )
+
+
+def _q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: per doc, the fraction of its word
+    5-gram spans shared with at least one other document (the
+    exact-substring-dedup signal; operators.dedup.span_dup_stats).
+    md5 hash family so the oracle recomputes every span hash."""
+    from fluvio_jolt_spark.operators.dedup import span_dup_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return span_dup_stats(docs, shingle_n=5, hash_family="md5")
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1442,6 +1468,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_near_dup": _q_source_near_dup,
     "token_entropy": _q_token_entropy,
     "label_centroid_sim": _q_label_centroid_sim,
+    "charset_stats": _q_charset_stats,
+    "span_dup_stats": _q_span_dup_stats,
     "video_features": _q_video_features,
     "decayed_activity": _q_decayed_activity,
     "repetition_stats": _q_repetition_stats,
@@ -1489,10 +1517,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_assignments": _q_pack_assignments,
     "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
-    "media_frame_sampling": _q_media_frame_sampling,
-    "image_features_real": _q_image_features_real,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "media_frame_sampling": _q_media_frame_sampling,
+    "image_features_real": _q_image_features_real,
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q5ish": _q_tpch_q5ish,
@@ -2496,6 +2524,47 @@ def oracle_sql() -> dict[str, str]:
                  ROUND(ln(CAST(SUM(c) AS DOUBLE))
                        - SUM(c * ln(c)) / CAST(SUM(c) AS DOUBLE), 4) AS entropy
           FROM counts GROUP BY doc_id
+        """,
+        "charset_stats": r"""
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS INT)
+                   AS n_non_ascii,
+                 CASE WHEN length(text) > 0
+                      THEN ROUND(1.0 - len(regexp_extract_all(text,
+                             '[^\x00-\x7F]')) / length(text), 4)
+                 END AS ascii_ratio,
+                 CAST(len(regexp_extract_all(text,
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS INT) AS n_control,
+                 CAST(len(regexp_extract_all(text, '�')) AS INT)
+                   AS n_replacement
+          FROM documents
+        """,
+        "span_dup_stats": """
+          WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 5
+                        THEN list_distinct(list_transform(
+                               range(1, len(w) - 5 + 2),
+                               i -> array_to_string(list_slice(w, i, i + 5 - 1), ' ')))
+                        ELSE [array_to_string(w, ' ')] END AS shingles
+            FROM w
+          ), spans AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+          ), freq AS (
+            SELECT gh, CAST(COUNT(*) AS BIGINT) AS nd FROM spans GROUP BY gh
+          )
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans,
+                 CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+                 ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 4) AS span_dup_frac
+          FROM spans JOIN freq USING (gh)
+          GROUP BY doc_id
         """,
         "label_centroid_sim": """
           WITH ex AS (

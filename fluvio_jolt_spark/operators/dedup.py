@@ -716,3 +716,49 @@ def connected_components(
             "max_iter or switch to star-contraction for this input"
         )
     return labels.select("v", F.col("lbl").alias("component"))
+
+
+def span_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplication stats per document: the fraction of a
+    document's word n-gram spans that also occur in at least one OTHER
+    document — the signal behind exact-substring training-data dedup
+    (boilerplate headers, license blocks, templated passages inflate
+    span_dup_frac long before whole-document dedup fires).
+
+    Returns (id, n_spans, n_dup_spans, span_dup_frac) where n_spans
+    counts the doc's DISTINCT spans (word_shingles dedups per doc, so
+    within-doc repetition — with_repetition_stats' job — doesn't count
+    here; this operator measures CROSS-document sharing).
+
+    Scale shape: spans collapse to 8-byte hashes at the map side (text
+    never shuffles); corpus span frequency is one partial-agg'd
+    groupBy on the hash; the join back to (id, hash) rides the same
+    hash partitioning; the final per-doc rollup is a second
+    partial-agg'd groupBy. Because spans are distinct within a doc,
+    count(*) per hash == number of docs sharing the span — no
+    count_distinct needed. hash_family="md5" is the cross-engine-
+    checkable family (driver oracle recomputes the 60-bit hashes)."""
+    gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
+    spans = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
+    ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
+    freq = spans.groupBy("_gh").agg(F.count(F.lit(1)).alias("_nd"))
+    return (
+        spans.join(freq, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("_nd") >= 2).cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("span_dup_frac"),
+        )
+    )

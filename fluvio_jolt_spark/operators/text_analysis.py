@@ -372,3 +372,36 @@ def token_entropy(
         F.round(F.count(F.lit(1)) / n, decimals).alias("ttr"),
         F.round(F.log(n) - c_ln_c / n, decimals).alias("entropy"),
     )
+
+
+def with_charset_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-health stats per document — the mojibake/binary-junk
+    filter that runs in front of every web-scale text pipeline:
+    documents with control characters, U+FFFD replacement characters
+    (the utf-8 decode-failure tombstone), or a low ASCII ratio get
+    routed to re-decode/drop. Pure Catalyst regexp_count over patterns
+    in the Java/RE2-identical subset (same contract as with_pii_scan);
+    column-pruned, zero shuffle.
+
+    Adds: n_non_ascii, ascii_ratio, n_control (C0 controls minus
+    tab/newline/CR), n_replacement (U+FFFD). Char-length and digit
+    density live in with_token_counts / with_quality_score — the
+    column names are kept disjoint so the helpers compose on one
+    frame (and `documents` already carries n_chars)."""
+    ln = F.length(text_col)
+
+    def _count(pattern: str):
+        return F.regexp_count(F.col(text_col), F.lit(pattern))
+
+    non_ascii = _count(r"[^\x00-\x7F]")
+    return (
+        df.withColumn("n_non_ascii", non_ascii)
+        .withColumn(
+            "ascii_ratio",
+            F.when(ln > 0, F.round(1.0 - non_ascii / ln, 4)).otherwise(
+                F.lit(None).cast("double")
+            ),
+        )
+        .withColumn("n_control", _count(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"))
+        .withColumn("n_replacement", _count("�"))
+    )

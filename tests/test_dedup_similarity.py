@@ -609,3 +609,37 @@ def test_centroid_pairwise_cosine_matches_numpy(spark, emb):
             assert abs(got[(a, b)] - want) < 1.1e-4
             n_pairs += 1
     assert len(got) == n_pairs
+
+
+def test_span_dup_stats_planted_shared_spans(spark):
+    """Two docs share a 5-word boilerplate span; a third is unique.
+    n_spans counts DISTINCT spans per doc; dup spans are those seen in
+    >= 2 docs."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.dedup import span_dup_stats
+
+    boiler = "this license block is boilerplate"
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                boiler + " alpha beta gamma delta",
+                boiler + " epsilon zeta eta theta",
+                "totally different words here with no overlap at all",
+            ],
+        })
+    )
+    for family in ("xxhash64", "md5"):
+        rows = {
+            r["doc_id"]: r
+            for r in span_dup_stats(docs, shingle_n=5, hash_family=family).collect()
+        }
+        # doc1: 9 words -> 5 distinct 5-gram spans; only the pure boiler
+        # span (words 1-5) also appears in doc2
+        assert rows[1]["n_spans"] == 5
+        assert rows[1]["n_dup_spans"] == 1
+        assert rows[1]["span_dup_frac"] == 0.2
+        assert rows[2]["n_dup_spans"] == 1
+        assert rows[3]["n_dup_spans"] == 0
+        assert rows[3]["span_dup_frac"] == 0.0

@@ -268,3 +268,29 @@ def test_token_entropy_matches_bruteforce(spark):
         assert g["n_distinct"] == len(c)
         assert abs(g["entropy"] - h) < 1.1e-4
         assert abs(g["ttr"] - len(c) / n) < 1.1e-4
+
+
+def test_charset_stats_planted_mojibake(spark):
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.text_analysis import with_charset_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "clean ascii text",
+                "café naïve résumé",      # 4 non-ascii
+                "bad � decode � here",                 # 2 tombstones
+                "ctrl\x01chars\x1fhere",                          # 2 C0 controls
+            ],
+        })
+    )
+    rows = {r["doc_id"]: r for r in with_charset_stats(docs).collect()}
+    assert rows[1]["n_non_ascii"] == 0 and rows[1]["ascii_ratio"] == 1.0
+    assert rows[1]["n_control"] == 0 and rows[1]["n_replacement"] == 0
+    assert rows[2]["n_non_ascii"] == 4
+    assert rows[2]["ascii_ratio"] == round(1 - 4 / len("café naïve résumé"), 4)
+    assert rows[3]["n_replacement"] == 2
+    assert rows[3]["n_non_ascii"] == 2  # U+FFFD is itself non-ascii
+    assert rows[4]["n_control"] == 2

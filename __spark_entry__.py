@@ -961,6 +961,43 @@ def _q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, shingle_n=5, hash_family="md5")
 
 
+def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 15-minute event-time windows per event type — the
+    canonical Spark ``F.window`` aggregation (same construct the
+    streaming lanes use with a watermark). Window starts go out as
+    epoch_us; the oracle recomputes them by exact integer floor
+    division (Spark windows align to the epoch, data is post-1970)."""
+    ev = _read(spark, sf_dir, "events")
+    win = F.window("ts", "15 minutes")
+    return ev.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def _q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (30-minute length, 15-minute slide) per event
+    type: every event lands in exactly two overlapping windows —
+    ``F.window(ts, '30 minutes', '15 minutes')``. The oracle replays
+    the assignment as a UNION of the two epoch-aligned starts."""
+    ev = _read(spark, sf_dir, "events")
+    win = F.window("ts", "30 minutes", "15 minutes")
+    return ev.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash fingerprints via the md5-derived 60-bit token hash —
     byte-reproducible in the DuckDB oracle."""
@@ -1470,6 +1507,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_sim": _q_label_centroid_sim,
     "charset_stats": _q_charset_stats,
     "span_dup_stats": _q_span_dup_stats,
+    "tumbling_counts": _q_tumbling_counts,
+    "sliding_counts": _q_sliding_counts,
     "video_features": _q_video_features,
     "decayed_activity": _q_decayed_activity,
     "repetition_stats": _q_repetition_stats,
@@ -1515,10 +1554,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_by_type": _q_zscore_by_type,
     "interval_join_windows": _q_interval_join_windows,
     "pack_assignments": _q_pack_assignments,
-    "token_doc_freq": _q_token_doc_freq,
-    "cube_orders": _q_cube_orders,
     # --- checked in round 4 and code-unchanged since: this round's
     # rotated-out block (re-enters the window in round 6) ---
+    "token_doc_freq": _q_token_doc_freq,
+    "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
     "image_features_real": _q_image_features_real,
     "tpch_q1": _q_tpch_q1,
@@ -2524,6 +2563,31 @@ def oracle_sql() -> dict[str, str]:
                  ROUND(ln(CAST(SUM(c) AS DOUBLE))
                        - SUM(c * ln(c)) / CAST(SUM(c) AS DOUBLE), 4) AS entropy
           FROM counts GROUP BY doc_id
+        """,
+        "tumbling_counts": """
+          SELECT (epoch_us(ts) - epoch_us(ts) % 900000000) AS win_start_us,
+                 event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(SUM(value), 4) AS sum_value
+          FROM events
+          GROUP BY 1, 2
+        """,
+        "sliding_counts": """
+          WITH assigned AS (
+            SELECT (epoch_us(ts) - epoch_us(ts) % 900000000) AS win_start_us,
+                   event_type, value
+            FROM events
+            UNION ALL
+            SELECT (epoch_us(ts) - epoch_us(ts) % 900000000) - 900000000
+                     AS win_start_us,
+                   event_type, value
+            FROM events
+          )
+          SELECT win_start_us, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 ROUND(SUM(value), 4) AS sum_value
+          FROM assigned
+          GROUP BY 1, 2
         """,
         "charset_stats": r"""
           SELECT doc_id,

@@ -1491,6 +1491,109 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted document sample via priority sampling
+    (Duffield–Lund–Thorup: priority = weight / hash-uniform, top-k per
+    stratum) — deterministic mixture carving where long documents carry
+    proportionally more selection mass.  The md5 lane is bit-exact
+    cross-engine because the priority is pure int→double conversion +
+    IEEE division (no libm ln/pow); selection is a per-stratum top-k
+    over a narrow projection, never a global sort.  The raw priority is
+    NOT emitted: round(huge_double, 4) differs between Spark's
+    BigDecimal rounding and DuckDB's multiply-round — the sampled ids +
+    ranks already pin the full ordering."""
+    from fluvio_jolt_spark.operators.sampling import priority_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = priority_sample(
+        docs, "n_chars", k=20, strata_cols=["source"], id_col="doc_id",
+        hash_family="md5",
+    )
+    return out.select(
+        "source",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+    )
+
+
+def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of every
+    document to 16 shards — the consistent-hashing primitive for stable
+    corpus layout (adding a shard moves only ~1/17 of keys, none
+    between existing shards; tests pin that invariant).  Map-only: one
+    vectorized array_max over (hash, shard) structs per row, zero
+    shuffle; the oracle recomputes the argmax via a shard cross join +
+    QUALIFY."""
+    from fluvio_jolt_spark.operators.sampling import rendezvous_shard
+
+    docs = _read(spark, sf_dir, "documents")
+    out = rendezvous_shard(docs, "doc_id", n_shards=16, hash_family="md5")
+    return out.select("doc_id", F.col("shard").cast("long").alias("shard"))
+
+
+def _q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values into the exact
+    [p05, p95] envelope — the standard outlier cap before scaling /
+    target encoding.  One tiny percentile aggregate broadcast back,
+    then a map-side clip; NULL values and NULL-percentile groups stay
+    NULL through a guarded CASE (Spark's greatest() skips NULLs, ANSI
+    propagates — the guard keeps both engines on the defined path).
+    At 100 TB the same shape runs on percentile_approx (mergeable
+    t-digest, no per-group sort)."""
+    from fluvio_jolt_spark.operators.validation import winsorize
+
+    ev = _read(spark, sf_dir, "events")
+    out = winsorize(ev, "value", ["event_type"], lower=0.05, upper=0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value_w", 4).alias("value_w"),
+        "clipped_low",
+        "clipped_high",
+    )
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type via median/MAD modified
+    z-score (Iglewicz–Hoaglin, |M| > 3.5) — 50% breakdown point, so
+    the threshold itself is immune to the outliers being counted.
+    Two exact-percentile aggregates (the second depends on the first —
+    a true data dependency, not a missed fusion), each broadcast back;
+    null-safe group joins keep NULL-type rows (the zscore_by_type
+    lesson)."""
+    from fluvio_jolt_spark.operators.validation import mad_zscore
+
+    ev = _read(spark, sf_dir, "events")
+    out = mad_zscore(ev, "value", ["event_type"], c=0.6745, flag_at=3.5)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_outlier").cast("long").alias("n_outliers"),
+        F.round(F.max("_med"), 4).alias("med"),
+        F.round(F.max("_mad"), 4).alias("mad"),
+    )
+
+
+def _q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift of each source vs the whole corpus:
+    KL(p‖q) and Jensen–Shannon divergence in nats — psi_drift's
+    companion for TEXT mixture monitoring (which slice reads unlike
+    the rest).  The (group × absent-vocab) explosion JS would need is
+    folded in closed form ((1−Q_g)·ln2/2); one (source, token) shuffle
+    is the only big exchange, corpus totals re-aggregate its partials,
+    N is a bounded driver-side count (catalog-stat pattern)."""
+    from fluvio_jolt_spark.operators.text_analysis import unigram_divergence
+
+    docs = _read(spark, sf_dir, "documents")
+    out = unigram_divergence(docs, group_col="source", text_col="text")
+    return out.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "kl",
+        "js",
+    )
+
+
 # Registry order is deliberate: the external correctness gate reads from the
 # FRONT of this dict and checks at most ~50 entries per round.  Rotation
 # policy (round-robin, not permanent exemption): queries are ordered by the
@@ -1501,6 +1604,11 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
+    "weighted_sample": _q_weighted_sample,
+    "rendezvous_shards": _q_rendezvous_shards,
+    "winsorize_events": _q_winsorize_events,
+    "mad_outliers": _q_mad_outliers,
+    "token_drift": _q_token_drift,
     "event_transitions": _q_event_transitions,
     "source_near_dup": _q_source_near_dup,
     "token_entropy": _q_token_entropy,
@@ -1549,13 +1657,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lead_features": _q_lead_features,
     "range_frame_10min": _q_range_frame_10min,
     "median_by_type": _q_median_by_type,
+    # --- checked in round 4 and code-unchanged since: this round's
+    # rotated-out block (re-enters the window in round 6) ---
     "latency_quantiles": _q_latency_quantiles,
     "stratified_sample": _q_stratified_sample,
     "zscore_by_type": _q_zscore_by_type,
     "interval_join_windows": _q_interval_join_windows,
     "pack_assignments": _q_pack_assignments,
-    # --- checked in round 4 and code-unchanged since: this round's
-    # rotated-out block (re-enters the window in round 6) ---
     "token_doc_freq": _q_token_doc_freq,
     "cube_orders": _q_cube_orders,
     "media_frame_sampling": _q_media_frame_sampling,
@@ -2010,6 +2118,109 @@ def oracle_sql() -> dict[str, str]:
       )
     """
     return {
+        "weighted_sample": """
+          WITH w AS (
+            SELECT source, doc_id, n_chars,
+                   n_chars / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0) AS priority
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+          )
+          SELECT source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY priority DESC, doc_id ASC) AS BIGINT)
+                   AS sample_rank,
+                 doc_id, n_chars
+          FROM w
+          QUALIFY sample_rank <= 20
+        """,
+        "rendezvous_shards": """
+          WITH s AS (SELECT range AS s FROM range(16)),
+          h AS (
+            SELECT d.doc_id, s.s,
+                   ('0x' || substr(md5(concat_ws('|',
+                       CAST(d.doc_id AS VARCHAR),
+                       CAST(s.s AS VARCHAR))), 1, 15))::BIGINT AS h
+            FROM documents d CROSS JOIN s
+          )
+          SELECT doc_id, CAST(s AS BIGINT) AS shard
+          FROM h
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY h DESC, s DESC) = 1
+        """,
+        "winsorize_events": """
+          WITH lim AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+          )
+          SELECT e.event_id, e.event_type,
+                 CASE WHEN e.value IS NULL OR l.lo IS NULL THEN NULL
+                      ELSE round(least(greatest(e.value, l.lo), l.hi), 4)
+                 END AS value_w,
+                 CAST(e.value < l.lo AS INT) AS clipped_low,
+                 CAST(e.value > l.hi AS INT) AS clipped_high
+          FROM events e
+          LEFT JOIN lim l ON e.event_type IS NOT DISTINCT FROM l.event_type
+        """,
+        "mad_outliers": """
+          WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+          ), d AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS absdev
+            FROM events e
+            LEFT JOIN med m ON e.event_type IS NOT DISTINCT FROM m.event_type
+          ), mad AS (
+            SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+            FROM d GROUP BY event_type
+          ), s AS (
+            SELECT d.event_type, d.med, x.mad,
+                   0.6745 * (d.value - d.med) / NULLIF(x.mad, 0) AS rz
+            FROM d
+            LEFT JOIN mad x ON d.event_type IS NOT DISTINCT FROM x.event_type
+          )
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(abs(rz) > 3.5 AS INT)) AS BIGINT)
+                   AS n_outliers,
+                 round(max(med), 4) AS med,
+                 round(max(mad), 4) AS mad
+          FROM s GROUP BY event_type
+        """,
+        "token_drift": """
+          WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+          ), gc AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c_g
+            FROM toks GROUP BY 1, 2
+          ), corpus AS (
+            SELECT tok, CAST(sum(c_g) AS BIGINT) AS c_all FROM gc GROUP BY 1
+          ), tot AS (
+            SELECT source, CAST(sum(c_g) AS BIGINT) AS n_g FROM gc GROUP BY 1
+          ), nn AS (
+            SELECT CAST(sum(c_g) AS DOUBLE) AS n FROM gc
+          ), terms AS (
+            SELECT g.source, t.n_g,
+                   CAST(g.c_g AS DOUBLE) / CAST(t.n_g AS DOUBLE) AS p,
+                   CAST(c.c_all AS DOUBLE) / nn.n AS q
+            FROM gc g
+            JOIN corpus c USING (tok)
+            JOIN tot t ON g.source IS NOT DISTINCT FROM t.source, nn
+          )
+          SELECT source,
+                 CAST(max(n_g) AS BIGINT) AS n_tokens,
+                 round(sum(p * ln(p / q)), 4) AS kl,
+                 round(sum((p * ln(p / ((p + q) / 2.0))
+                            + q * ln(q / ((p + q) / 2.0))) / 2.0)
+                       + (1.0 - sum(q)) * 0.34657359027997264, 4) AS js
+          FROM terms GROUP BY source
+        """,
         "jolt_shift_props": """
           SELECT event_id,
                  '{"key_value":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || '}' AS reshaped

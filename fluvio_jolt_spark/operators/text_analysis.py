@@ -405,3 +405,74 @@ def with_charset_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_control", _count(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"))
         .withColumn("n_replacement", _count("�"))
     )
+
+
+def unigram_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    total_tokens: "int | None" = None,
+) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus: KL(p‖q)
+    and Jensen–Shannon divergence between each group's unigram
+    distribution p and the corpus distribution q — the source-level
+    companion to psi_drift for TEXT: which slice of the mixture reads
+    "unlike the rest" (different language, boilerplate, template spam)
+    and by how much, in nats.
+
+    JS needs the corpus tokens a group never uses; materializing a
+    (group × vocab) frame for those would explode, so the absent-token
+    mass folds in closed form: for p=0 the JS term is q·ln2/2, and
+    summing over absent tokens gives (1 − Q_g)·ln2/2 with
+    Q_g = Σ_{t∈g} q(t) — one extra aggregate over rows that already
+    exist.  KL is finite as-is (every group token appears in the
+    corpus, so q > 0).
+
+    100-TB shape: one (group, token) partial-agg'd groupBy is the only
+    big shuffle; the corpus distribution re-aggregates those partials
+    on the token key (vocabulary-sized — NOT broadcast, the TF-IDF df
+    reasoning); per-group totals are a tiny frame broadcast back.  N is
+    one bounded driver-side count (catalog-stat pattern — a lit-keyed
+    1-row join would constant-fold into a nested-loop join).
+    round(.,4) absorbs cross-engine libm ln() and sum-order noise.
+
+    Returns one row per group: (group, n_tokens, kl, js)."""
+    toks = df.select(group_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    if total_tokens is None:
+        total_tokens = toks.count()
+    n = float(total_tokens)
+
+    gc = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("c_g"))
+    corpus = gc.groupBy("tok").agg(F.sum("c_g").alias("c_all"))
+    tot_g = gc.groupBy(group_col).agg(F.sum("c_g").alias("n_g"))
+
+    j = gc.join(corpus, "tok")
+    # rename the totals-side key: tot_g descends from gc, so a same-name
+    # join condition would lean on dataset-id disambiguation
+    b = F.broadcast(tot_g.withColumnRenamed(group_col, "__tot_g"))
+    j = j.join(b, j[group_col].eqNullSafe(F.col("__tot_g"))).drop("__tot_g")
+
+    p = F.col("c_g").cast("double") / F.col("n_g").cast("double")
+    q = F.col("c_all").cast("double") / F.lit(n)
+    m = (p + q) / F.lit(2.0)
+    kl_term = p * F.log(p / q)
+    js_present = (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0)
+
+    ln2 = 0.6931471805599453
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.max("n_g").alias("n_tokens"),
+            F.round(F.sum(kl_term), 4).alias("kl"),
+            F.sum(js_present).alias("_js_p"),
+            F.sum(q).alias("_q_g"),
+        )
+        .withColumn(
+            "js",
+            F.round(
+                F.col("_js_p") + (F.lit(1.0) - F.col("_q_g")) * F.lit(ln2 / 2.0),
+                4,
+            ),
+        )
+        .drop("_js_p", "_q_g")
+    )

@@ -146,3 +146,109 @@ def psi_drift(
         F.max("n_cur").alias("n_cur"),
     )
     return out
+
+
+def _join_back(df: DataFrame, stats: DataFrame, group_cols: "list[str]"):
+    """Broadcast the per-group stats frame back onto the rows with
+    null-safe key equality (groupBy keeps a NULL group; a plain join
+    would silently drop those rows — the zscore_by_type lesson)."""
+    if not group_cols:
+        return df.crossJoin(F.broadcast(stats))
+    # rename the stats-side keys so the (self-derived) join condition is
+    # unambiguous — stats descends from df, and same-name attributes
+    # would otherwise lean on dataset-id disambiguation
+    ren = {g: f"__stat_{g}" for g in group_cols}
+    for g, r in ren.items():
+        stats = stats.withColumnRenamed(g, r)
+    b = F.broadcast(stats)
+    cond = None
+    for g, r in ren.items():
+        c = df[g].eqNullSafe(F.col(r))
+        cond = c if cond is None else cond & c
+    return df.join(b, cond, "left").drop(*ren.values())
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: "list[str] | None" = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` into its group's
+    [lower, upper] exact-percentile envelope — the standard outlier cap
+    before scaling/encoding numeric features (a single fat-finger value
+    otherwise owns the feature's z-scale).  Adds ``<value>_w`` (the
+    clipped value), ``clipped_low`` and ``clipped_high`` flags.
+
+    Shape: one partial-agg'd groupBy computes the two percentiles per
+    group (group count is small — broadcast back), then the clip is a
+    map-side least/greatest.  Exact percentile is the oracle-checkable
+    lane; at 100 TB swap in percentile_approx (t-digest — mergeable,
+    one pass, no per-group sort) with the same query shape.  NULL
+    values stay NULL and never clip; an all-NULL group yields NULL
+    bounds and NULL output (guarded CASE — Spark's greatest() SKIPS
+    nulls while ANSI engines propagate them, so the guard keeps both
+    engines on the defined path)."""
+    gk = list(group_cols or [])
+    lim = df.groupBy(*gk).agg(
+        F.percentile(value_col, F.lit(float(lower))).alias("_lo"),
+        F.percentile(value_col, F.lit(float(upper))).alias("_hi"),
+    )
+    j = _join_back(df, lim, gk)
+    v = F.col(value_col)
+    clipped = F.when(
+        v.isNull() | F.col("_lo").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+    return (
+        j.withColumn(f"{value_col}_w", clipped)
+        .withColumn("clipped_low", (v < F.col("_lo")).cast("int"))
+        .withColumn("clipped_high", (v > F.col("_hi")).cast("int"))
+        .drop("_lo", "_hi")
+    )
+
+
+def mad_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: "list[str] | None" = None,
+    c: float = 0.6745,
+    flag_at: float = 3.5,
+) -> DataFrame:
+    """Robust per-group z-score via median / MAD (the Iglewicz–Hoaglin
+    modified z-score M = c·(x − med) / MAD, outlier at |M| > 3.5) —
+    unlike mean/std, a breakdown point of 50%, so the score of normal
+    rows is unaffected by the very outliers being hunted.
+
+    Two exact-percentile aggregates (median, then median of absolute
+    deviations — the second genuinely depends on the first, so two
+    passes is the true data dependency, not a missed fusion), each
+    broadcast back onto the rows; the score itself is map-side
+    arithmetic.  A zero-MAD group (>50% of rows at one value) yields
+    NULL scores rather than ±inf.  Adds ``_med``/``_mad`` (group
+    stats), ``robust_z`` and ``is_outlier``."""
+    gk = list(group_cols or [])
+    med = df.groupBy(*gk).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    j = _join_back(df, med, gk).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = j.groupBy(*gk).agg(
+        F.percentile("_absdev", F.lit(0.5)).alias("_mad")
+    )
+    j2 = _join_back(j, mad, gk)
+    rz = (
+        F.lit(float(c))
+        * (F.col(value_col) - F.col("_med"))
+        / F.when(F.col("_mad") == 0, F.lit(None).cast("double")).otherwise(
+            F.col("_mad")
+        )
+    )
+    return (
+        j2.withColumn("robust_z", rz)
+        .withColumn(
+            "is_outlier", (F.abs(F.col("robust_z")) > F.lit(float(flag_at))).cast("int")
+        )
+        .drop("_absdev")
+    )

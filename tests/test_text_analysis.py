@@ -294,3 +294,54 @@ def test_charset_stats_planted_mojibake(spark):
     assert rows[3]["n_replacement"] == 2
     assert rows[3]["n_non_ascii"] == 2  # U+FFFD is itself non-ascii
     assert rows[4]["n_control"] == 2
+
+
+def test_unigram_divergence_identical_groups_zero(spark):
+    import pandas as pd
+    from fluvio_jolt_spark.operators.text_analysis import unigram_divergence
+
+    # both sources have the SAME token distribution -> p == q -> KL = JS = 0
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", "b", "b"],
+        "text": ["x y z", "x y", "x y z", "x y"],
+    })
+    out = unigram_divergence(spark.createDataFrame(pdf)).toPandas()
+    assert (out["kl"] == 0.0).all() and (out["js"] == 0.0).all()
+
+
+def test_unigram_divergence_disjoint_vocab_max_js(spark):
+    import math
+    import pandas as pd
+    from fluvio_jolt_spark.operators.text_analysis import unigram_divergence
+
+    # disjoint vocabularies, equal sizes: q = p/2 on own tokens ->
+    # KL(p||q) = ln 2; JS vs the 50/50 corpus mix:
+    #   present half: p*ln(2p/(p+p/2))/2 + q*ln(2q/(p+q))/2 summed = ...
+    # just pin bounds + symmetry: 0 < js <= ln2, kl = ln2 exactly
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["a", "b"],
+        "text": ["x y z w", "p q r s"],
+    })
+    out = unigram_divergence(spark.createDataFrame(pdf)).toPandas()
+    ln2 = math.log(2.0)
+    assert (abs(out["kl"] - round(ln2, 4)) < 1e-9).all()
+    assert (out["js"] > 0).all() and (out["js"] <= round(ln2, 4)).all()
+    # symmetric setup -> identical divergence for both groups
+    assert out["kl"].nunique() == 1 and out["js"].nunique() == 1
+
+
+def test_unigram_divergence_total_tokens_passthrough(spark):
+    import pandas as pd
+    from fluvio_jolt_spark.operators.text_analysis import unigram_divergence
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "source": ["a", "b"],
+        "text": ["x y", "x z"],
+    })
+    df = spark.createDataFrame(pdf)
+    a = unigram_divergence(df).toPandas().sort_values("source")
+    b = unigram_divergence(df, total_tokens=4).toPandas().sort_values("source")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))

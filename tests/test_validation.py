@@ -102,3 +102,66 @@ def test_psi_drift_empty_bin_finite(spark):
     out = psi_drift(df, "value", "ts", ["event_type"], n_bins=4).collect()[0]
     assert out["psi"] == pytest.approx(out["psi"])  # not NaN
     assert out["psi"] > 1.0  # complete separation = extreme drift
+
+
+def _vals_df(spark, vals, types=None):
+    n = len(vals)
+    pdf = pd.DataFrame({
+        "event_id": list(range(n)),
+        "event_type": types or ["t"] * n,
+        "value": pd.Series(vals, dtype=object),
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    from fluvio_jolt_spark.operators.validation import winsorize
+
+    # 0..100: p05 = 5.0, p95 = 95.0 exactly (101 points, integer ranks)
+    df = _vals_df(spark, [float(i) for i in range(101)])
+    out = winsorize(df, "value", ["event_type"], 0.05, 0.95).toPandas()
+    out = out.set_index("event_id").sort_index()
+    assert out["value_w"].min() == 5.0 and out["value_w"].max() == 95.0
+    assert out["clipped_low"].sum() == 5 and out["clipped_high"].sum() == 5
+    # interior values untouched
+    assert out.loc[50, "value_w"] == 50.0
+
+
+def test_winsorize_null_values_stay_null(spark):
+    from fluvio_jolt_spark.operators.validation import winsorize
+
+    df = _vals_df(spark, [1.0, None, 3.0, 100.0])
+    out = winsorize(df, "value", ["event_type"], 0.25, 0.75).toPandas()
+    row = out.set_index("event_id").loc[1]
+    assert pd.isna(row["value_w"]) and pd.isna(row["clipped_low"])
+
+
+def test_winsorize_null_group_key_kept(spark):
+    from fluvio_jolt_spark.operators.validation import winsorize
+
+    df = _vals_df(spark, [1.0, 2.0, 3.0, 9.0], types=[None, None, None, "t"])
+    out = winsorize(df, "value", ["event_type"], 0.0, 1.0).toPandas()
+    # null-safe join: NULL-type rows keep their own group's bounds
+    assert len(out) == 4
+    assert out.set_index("event_id").loc[0, "value_w"] == 1.0
+
+
+def test_mad_zscore_golden_and_robustness(spark):
+    from fluvio_jolt_spark.operators.validation import mad_zscore
+
+    # 1..9 plus one wild outlier: med = 5.5, MAD unaffected by the spike
+    vals = [float(i) for i in range(1, 10)] + [1000.0]
+    df = _vals_df(spark, vals)
+    out = mad_zscore(df, "value", ["event_type"]).toPandas()
+    out = out.set_index("event_id")
+    assert out["_med"].iloc[0] == 5.5  # median of sorted 1..9,1000 = (5+6)/2
+    assert out.loc[9, "is_outlier"] == 1
+    assert out.loc[4, "is_outlier"] == 0
+
+
+def test_mad_zscore_zero_mad_yields_null(spark):
+    from fluvio_jolt_spark.operators.validation import mad_zscore
+
+    df = _vals_df(spark, [2.0, 2.0, 2.0, 2.0, 7.0])
+    out = mad_zscore(df, "value", ["event_type"]).toPandas()
+    assert pd.isna(out["robust_z"]).all()

@@ -1594,6 +1594,63 @@ def _q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew report for the two natural event keys —
+    the diagnostic that decides salting vs plain hash partitioning
+    BEFORE a 100-TB shuffle is launched (a skew factor of 50 means the
+    heaviest key owns 50 tasks' worth of one task).  One partial-agg'd
+    groupBy per key column + a tiny rollup; NULL profiled as a key."""
+    from fluvio_jolt_spark.operators.skew import key_skew_profile
+
+    ev = _read(spark, sf_dir, "events")
+    out = key_skew_profile(ev, ["user_id", "event_type"])
+    return out.select(
+        "key_col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_cnt").cast("long").alias("max_cnt"),
+        "skew",
+    )
+
+
+def _q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the two TPC-H FK chains
+    (lineitem→orders, orders→customer): orphan rows, NULL FKs, PK
+    duplication — the ingest gate before trusting joins (orphans
+    vanish from inner joins silently).  Orphans count via LEFT join +
+    flag aggregate over distinct PKs (one child pass, dup-safe);
+    parent stats merge through union+groupBy, never a lit-keyed 1-row
+    join (BroadcastNestedLoopJoin bait)."""
+    from fluvio_jolt_spark.operators.validation import referential_audit
+
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    cu = _read(spark, sf_dir, "customer")
+    a = referential_audit(li, od, "l_orderkey", "o_orderkey")
+    b = referential_audit(od, cu, "o_custkey", "c_custkey")
+    return a.unionByName(b)
+
+
+def _q_ts_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-time disorder along the arrival sequence
+    (event_id): backward-step count, worst backstep seconds, disorder
+    ratio — the audit that sets a streaming watermark delay and tells
+    a batch pipeline whether per-entity re-sorts are load-bearing.
+    One lag window sharing the lag/lead features' (entity, seq)
+    shuffle shape."""
+    from fluvio_jolt_spark.operators.validation import ts_disorder
+
+    ev = _read(spark, sf_dir, "events")
+    out = ts_disorder(ev, "user_id", "ts", "event_id")
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_backward").cast("long").alias("n_backward"),
+        "max_backstep_s",
+        "disorder_ratio",
+    )
+
+
 # Registry order is deliberate: the external correctness gate reads from the
 # FRONT of this dict and checks at most ~50 entries per round.  Rotation
 # policy (round-robin, not permanent exemption): queries are ordered by the
@@ -1604,6 +1661,9 @@ def _q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
+    "key_skew_profile": _q_key_skew_profile,
+    "ri_audit": _q_ri_audit,
+    "ts_disorder": _q_ts_disorder,
     "weighted_sample": _q_weighted_sample,
     "rendezvous_shards": _q_rendezvous_shards,
     "winsorize_events": _q_winsorize_events,
@@ -1654,11 +1714,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_salted": _q_asof_join_salted,
     "asof_join_bucketed": _q_asof_join_bucketed,
     "sessionize_salted": _q_sessionize_salted,
+    # --- checked in round 4 and code-unchanged since: this round's
+    # rotated-out block (re-enters the window in round 6) ---
     "lead_features": _q_lead_features,
     "range_frame_10min": _q_range_frame_10min,
     "median_by_type": _q_median_by_type,
-    # --- checked in round 4 and code-unchanged since: this round's
-    # rotated-out block (re-enters the window in round 6) ---
     "latency_quantiles": _q_latency_quantiles,
     "stratified_sample": _q_stratified_sample,
     "zscore_by_type": _q_zscore_by_type,
@@ -2118,6 +2178,90 @@ def oracle_sql() -> dict[str, str]:
       )
     """
     return {
+        "key_skew_profile": """
+          WITH u AS (
+            SELECT 'user_id' AS key_col,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM (SELECT CAST(user_id AS VARCHAR) AS k,
+                         count(*) AS cnt FROM events GROUP BY 1)
+            UNION ALL
+            SELECT 'event_type' AS key_col,
+                   CAST(sum(cnt) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(max(cnt) AS BIGINT)
+            FROM (SELECT CAST(event_type AS VARCHAR) AS k,
+                         count(*) AS cnt FROM events GROUP BY 1)
+          )
+          SELECT key_col, n_rows, n_keys, max_cnt,
+                 round(CAST(max_cnt AS DOUBLE)
+                       / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)),
+                       4) AS skew
+          FROM u
+        """,
+        "ri_audit": """
+          WITH c1 AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(sum(CASE WHEN l.l_orderkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_fk_null,
+                   CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                                  AND o.pk IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) o
+              ON l.l_orderkey = o.pk
+          ), p1 AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_parent,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                     AS n_pk_dup_rows
+            FROM orders
+          ), c2 AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_child,
+                   CAST(sum(CASE WHEN od.o_custkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_fk_null,
+                   CAST(sum(CASE WHEN od.o_custkey IS NOT NULL
+                                  AND c.pk IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM orders od
+            LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) c
+              ON od.o_custkey = c.pk
+          ), p2 AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_parent,
+                   CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+                     AS n_pk_dup_rows
+            FROM customer
+          )
+          SELECT 'l_orderkey->o_orderkey' AS relation,
+                 c1.n_child, c1.n_fk_null, c1.n_orphans,
+                 p1.n_parent, p1.n_pk_dup_rows
+          FROM c1, p1
+          UNION ALL
+          SELECT 'o_custkey->c_custkey' AS relation,
+                 c2.n_child, c2.n_fk_null, c2.n_orphans,
+                 p2.n_parent, p2.n_pk_dup_rows
+          FROM c2, p2
+        """,
+        "ts_disorder": """
+          WITH l AS (
+            SELECT user_id,
+                   lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id
+                     ORDER BY event_id ASC NULLS FIRST)
+                   - epoch_us(ts) AS back_us
+            FROM events
+          )
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN back_us > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_backward,
+                 round(CAST(max(CASE WHEN back_us > 0 THEN back_us END)
+                            AS DOUBLE) / 1000000.0, 4) AS max_backstep_s,
+                 round(CAST(sum(CASE WHEN back_us > 0 THEN 1 ELSE 0 END)
+                            AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 4) AS disorder_ratio
+          FROM l GROUP BY user_id
+        """,
         "weighted_sample": """
           WITH w AS (
             SELECT source, doc_id, n_chars,

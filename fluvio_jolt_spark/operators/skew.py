@@ -247,3 +247,38 @@ def diagnose_conversation_skew(df: DataFrame, top_n: int = 10) -> DataFrame:
         .orderBy(F.col("n_turns").desc())
         .limit(top_n)
     )
+
+
+def key_skew_profile(df: DataFrame, key_cols: "list[str]") -> DataFrame:
+    """Key-distribution profile per candidate join/group key — the
+    diagnostic you run BEFORE picking a shuffle strategy at 100 TB:
+    a skew factor (heaviest key's rows / mean rows-per-key) near 1
+    means plain hash partitioning is fine; large factors mean the
+    heavy keys own whole tasks and need salting / AQE skew splitting
+    (exactly what with_turn_features_salted does for conversations).
+
+    One partial-agg'd groupBy per key column (keys cast to string so
+    heterogeneous columns union into one report), then a tiny global
+    rollup of the count-per-key frame.  NULL is profiled as a key —
+    at web scale the null key is the most common skew monster.
+
+    Returns one row per key column: (key_col, n_rows, n_keys,
+    max_cnt, skew)."""
+    outs = []
+    for c in key_cols:
+        per_key = df.groupBy(F.col(c).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        agg = per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+        ).select(F.lit(c).alias("key_col"), "n_rows", "n_keys", "max_cnt")
+        outs.append(agg)
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    skew = F.col("max_cnt").cast("double") / (
+        F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    )
+    return u.withColumn("skew", F.round(skew, 4))

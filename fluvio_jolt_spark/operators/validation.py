@@ -10,7 +10,7 @@ decide when features need re-fitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.epoch import ensure_ltz
@@ -251,4 +251,119 @@ def mad_zscore(
             "is_outlier", (F.abs(F.col("robust_z")) > F.lit(float(flag_at))).cast("int")
         )
         .drop("_absdev")
+    )
+
+
+def referential_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    relation: "str | None" = None,
+) -> DataFrame:
+    """Referential-integrity audit of one FK→PK relation — the ingest
+    gate a 100 TB pipeline runs before trusting a join: orphan child
+    rows (FK present but unmatched) silently vanish from inner joins,
+    NULL FKs vanish from every join, and duplicated PKs fan joins out.
+
+    Shape: the orphan count is a LEFT join + flag aggregate (NOT a
+    count of an anti-join — this keeps null-FK and orphan tallies in
+    ONE pass over the child); parent-side stats are a second tiny
+    aggregate; the two 1-row frames merge through a union + groupBy
+    (a lit-keyed 1-row join would constant-fold into a nested-loop
+    join).  Exact count_distinct on the PK is the oracle-checkable
+    lane; at scale swap approx_count_distinct, same shape.
+
+    Returns one row: (relation, n_child, n_fk_null, n_orphans,
+    n_parent, n_pk_dup_rows)."""
+    rel = relation or f"{fk}->{pk}"
+    # distinct PKs before the orphan probe: a duplicated parent key must
+    # not fan the child out (n_child stays the true child row count)
+    hit = (
+        parent.select(F.col(pk).alias("__pk"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    j = child.select(F.col(fk).alias("__fk")).join(
+        hit, F.col("__fk") == F.col("__pk"), "left"
+    )
+    child_side = j.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)).alias("n_fk_null"),
+        F.sum(
+            F.when(F.col("__fk").isNotNull() & F.col("__hit").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_orphans"),
+    ).select(
+        F.lit(rel).alias("relation"),
+        "n_child", "n_fk_null", "n_orphans",
+        F.lit(None).cast("long").alias("n_parent"),
+        F.lit(None).cast("long").alias("n_pk_dup_rows"),
+    )
+    parent_side = parent.agg(
+        F.count(F.lit(1)).alias("n_parent"),
+        F.count_distinct(F.col(pk)).alias("n_pk"),
+    ).select(
+        F.lit(rel).alias("relation"),
+        F.lit(None).cast("long").alias("n_child"),
+        F.lit(None).cast("long").alias("n_fk_null"),
+        F.lit(None).cast("long").alias("n_orphans"),
+        "n_parent",
+        (F.col("n_parent") - F.col("n_pk")).alias("n_pk_dup_rows"),
+    )
+    return (
+        child_side.unionByName(parent_side)
+        .groupBy("relation")
+        .agg(
+            F.max("n_child").alias("n_child"),
+            F.max("n_fk_null").alias("n_fk_null"),
+            F.max("n_orphans").alias("n_orphans"),
+            F.max("n_parent").alias("n_parent"),
+            F.max("n_pk_dup_rows").alias("n_pk_dup_rows"),
+        )
+    )
+
+
+def ts_disorder(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Timestamp-disorder audit per entity: how often does event time
+    run BACKWARD along the arrival sequence (``seq_col``), and by how
+    much — the number that decides a streaming job's watermark delay
+    and whether a batch pipeline needs a re-sort before windowing
+    (sessionize / as-of assume per-entity time order; silent disorder
+    turns into silent feature corruption).
+
+    One lag window over the (entity, seq) order — shares the shape
+    (and at scale, the shuffle) of the lag/lead feature pass.  Returns
+    per entity: (entity, n_events, n_backward, max_backstep_s,
+    disorder_ratio)."""
+    df = ensure_ltz(df, ts_col)
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(seq_col).asc_nulls_first()
+    )
+    ep = F.unix_micros(F.col(ts_col))
+    back_us = F.lag(ep).over(w) - ep  # positive when time ran backward
+    d = df.select(
+        F.col(entity_col),
+        back_us.alias("_back_us"),
+    )
+    return d.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("_back_us") > 0, 1).otherwise(0)).alias(
+            "n_backward"
+        ),
+        F.round(
+            F.max(F.when(F.col("_back_us") > 0, F.col("_back_us")))
+            .cast("double") / F.lit(1e6),
+            4,
+        ).alias("max_backstep_s"),
+        F.round(
+            F.sum(F.when(F.col("_back_us") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("disorder_ratio"),
     )

@@ -122,3 +122,30 @@ def test_salted_gappy_turn_idx_reindex(spark, transcripts_small):
     a = [tuple(r[c] for c in cols) for r in want]
     b = [tuple(r[c] for c in cols) for r in got]
     assert a == b
+
+
+def test_key_skew_profile_planted_skew(spark):
+    import pandas as pd
+    from fluvio_jolt_spark.operators.skew import key_skew_profile
+
+    # 'hot' owns 90 of 100 rows over 11 keys -> skew = 90 / (100/11) = 9.9
+    pdf = pd.DataFrame({
+        "k1": ["hot"] * 90 + [f"cold{i}" for i in range(10)],
+        "k2": list(range(100)),  # perfectly uniform -> skew 1.0
+    })
+    out = (
+        key_skew_profile(spark.createDataFrame(pdf), ["k1", "k2"])
+        .toPandas().set_index("key_col")
+    )
+    assert out.loc["k1", "max_cnt"] == 90 and out.loc["k1", "n_keys"] == 11
+    assert out.loc["k1", "skew"] == 9.9
+    assert out.loc["k2", "skew"] == 1.0
+
+
+def test_key_skew_profile_null_is_a_key(spark):
+    import pandas as pd
+    from fluvio_jolt_spark.operators.skew import key_skew_profile
+
+    pdf = pd.DataFrame({"k": pd.Series(["a", None, None, None], dtype=object)})
+    out = key_skew_profile(spark.createDataFrame(pdf), ["k"]).toPandas().iloc[0]
+    assert out["n_keys"] == 2 and out["max_cnt"] == 3

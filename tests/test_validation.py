@@ -165,3 +165,54 @@ def test_mad_zscore_zero_mad_yields_null(spark):
     df = _vals_df(spark, [2.0, 2.0, 2.0, 2.0, 7.0])
     out = mad_zscore(df, "value", ["event_type"]).toPandas()
     assert pd.isna(out["robust_z"]).all()
+
+
+def test_referential_audit_planted_pathologies(spark):
+    from fluvio_jolt_spark.operators.validation import referential_audit
+
+    child = spark.createDataFrame(
+        pd.DataFrame({"fk": pd.Series([1, 1, 2, 99, None], dtype=object)})
+    )
+    # parent key 1 duplicated: must NOT fan n_child out
+    parent = spark.createDataFrame(
+        pd.DataFrame({"pk": [1, 1, 2, 3]})
+    )
+    out = referential_audit(child, parent, "fk", "pk").toPandas().iloc[0]
+    assert out["relation"] == "fk->pk"
+    assert out["n_child"] == 5
+    assert out["n_fk_null"] == 1
+    assert out["n_orphans"] == 1       # fk=99
+    assert out["n_parent"] == 4
+    assert out["n_pk_dup_rows"] == 1   # one extra row for pk=1
+
+
+def test_referential_audit_clean_relation(spark):
+    from fluvio_jolt_spark.operators.validation import referential_audit
+
+    child = spark.createDataFrame(pd.DataFrame({"fk": [1, 2, 3]}))
+    parent = spark.createDataFrame(pd.DataFrame({"pk": [1, 2, 3, 4]}))
+    out = referential_audit(child, parent, "fk", "pk").toPandas().iloc[0]
+    assert out["n_orphans"] == 0 and out["n_fk_null"] == 0
+    assert out["n_pk_dup_rows"] == 0
+
+
+def test_ts_disorder_counts_backsteps(spark):
+    from fluvio_jolt_spark.operators.validation import ts_disorder
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # user 1: arrival order 0,1,2,3 with ts 0s, 10s, 4s (6s backstep),
+    # 20s -> one backward step; user 2: monotone
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "event_id": [0, 1, 2, 3, 10, 11],
+        "ts": [base + pd.Timedelta(seconds=s) for s in [0, 10, 4, 20, 0, 5]],
+    })
+    out = (
+        ts_disorder(spark.createDataFrame(pdf), "user_id", "ts", "event_id")
+        .toPandas().set_index("user_id")
+    )
+    assert out.loc[1, "n_backward"] == 1
+    assert out.loc[1, "max_backstep_s"] == 6.0
+    assert out.loc[1, "disorder_ratio"] == 0.25
+    assert out.loc[2, "n_backward"] == 0
+    assert pd.isna(out.loc[2, "max_backstep_s"])

@@ -1651,6 +1651,62 @@ def _q_ts_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding store (the
+    faiss-SQ trade: 4× footprint cut — at 100 TB the difference between
+    RAM-resident ANN and disk thrash) with reconstruction-quality
+    stats.  Map-only vectorized array arithmetic, zero shuffle; every
+    step is IEEE-deterministic so codes AND errors reproduce bit-for-
+    bit cross-engine (code_sum pins the full code vector)."""
+    from fluvio_jolt_spark.operators.similarity import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, "embedding", n_bits=8)
+    return out.select(
+        "vec_id",
+        "label",
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.aggregate(
+            "q_codes", F.lit(0).cast("long"), lambda s, x: s + x
+        ).alias("code_sum"),
+        F.round("mean_abs_err", 6).alias("mean_abs_err"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    )
+
+
+def _q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size census — the dedup report a pipeline
+    actually reads (how much mass sits in 2-clusters vs mega-clusters
+    decides the dedup policy).  Composes directly on dup_clusters'
+    connected-components assignment: two tiny aggregates over the
+    per-document cluster ids."""
+    assign = _q_dup_clusters(spark, sf_dir)
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+def _q_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality per document — catches word-salad
+    documents whose unigrams are individually common but never co-occur
+    (the unigram filter's blind spot).  One bigram explode aggregated
+    on (w1,w2); continuation totals reuse those partials; count tables
+    join back on their own keys, never broadcast."""
+    from fluvio_jolt_spark.operators.text_analysis import bigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "text", "doc_id", lam=0.7)
+    return out.select(
+        "doc_id",
+        "bigram_logprob",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+    )
+
+
 # Registry order is deliberate: the external correctness gate reads from the
 # FRONT of this dict and checks at most ~50 entries per round.  Rotation
 # policy (round-robin, not permanent exemption): queries are ordered by the
@@ -1661,6 +1717,9 @@ def _q_ts_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
+    "embedding_quantize": _q_embedding_quantize,
+    "dup_cluster_sizes": _q_dup_cluster_sizes,
+    "bigram_quality": _q_bigram_quality,
     "key_skew_profile": _q_key_skew_profile,
     "ri_audit": _q_ri_audit,
     "ts_disorder": _q_ts_disorder,
@@ -1711,11 +1770,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "backfill_last_value": _q_backfill,
     "asof_join_signup": _q_asof_join,
     "asof_join_signup_pandas": _q_asof_join_pandas,
+    # --- checked in round 4 and code-unchanged since: this round's
+    # rotated-out block (re-enters the window in round 6) ---
     "asof_join_salted": _q_asof_join_salted,
     "asof_join_bucketed": _q_asof_join_bucketed,
     "sessionize_salted": _q_sessionize_salted,
-    # --- checked in round 4 and code-unchanged since: this round's
-    # rotated-out block (re-enters the window in round 6) ---
     "lead_features": _q_lead_features,
     "range_frame_10min": _q_range_frame_10min,
     "median_by_type": _q_median_by_type,
@@ -2178,6 +2237,88 @@ def oracle_sql() -> dict[str, str]:
       )
     """
     return {
+        "embedding_quantize": """
+          WITH e AS (
+            SELECT vec_id, label, len(embedding) AS n_dims,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+          ), st AS (
+            SELECT vec_id, min(x) AS mn, max(x) AS mx FROM e GROUP BY vec_id
+          ), d AS (
+            SELECT e.vec_id, e.label, e.n_dims, st.mn,
+                   (st.mx - st.mn) / 255.0 AS scale, e.x
+            FROM e JOIN st USING (vec_id)
+          ), q AS (
+            SELECT vec_id, label, n_dims,
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(least(greatest(
+                               floor((x - mn) / scale + 0.5), 0), 255)
+                             AS BIGINT)
+                   END AS code,
+                   CASE WHEN scale = 0 THEN 0.0
+                        ELSE abs(x - (mn + least(greatest(
+                               floor((x - mn) / scale + 0.5), 0), 255)
+                               * scale))
+                   END AS ae
+            FROM d
+          )
+          SELECT vec_id, label,
+                 CAST(max(n_dims) AS BIGINT) AS n_dims,
+                 CAST(sum(code) AS BIGINT) AS code_sum,
+                 round(sum(ae) / max(n_dims), 6) AS mean_abs_err,
+                 round(max(ae), 6) AS max_abs_err
+          FROM q GROUP BY vec_id, label
+        """,
+        "dup_cluster_sizes": f"""
+          WITH assign AS ({_dup_clusters_oracle()}
+          ), sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM assign GROUP BY cluster_id
+          )
+          SELECT cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(cluster_size) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY cluster_size
+        """,
+        "bigram_quality": """
+          WITH dd AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+          ), bi AS (
+            -- parallel unnests zip positionally in DuckDB:
+            -- (l[i], l[i+1]) pairs; empty slices for <2-token docs
+            SELECT doc_id,
+                   unnest(l[1:len(l) - 1]) AS w1,
+                   unnest(l[2:len(l)]) AS w2
+            FROM dd
+          ), cb AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi
+            FROM bi GROUP BY 1, 2
+          ), cw AS (
+            SELECT w1, CAST(sum(c_bi) AS BIGINT) AS c_w1 FROM cb GROUP BY 1
+          ), cu AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c_uni
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1
+          ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+          ), j AS (
+            SELECT bi.doc_id,
+                   0.7 * CAST(b.c_bi AS DOUBLE) / CAST(w.c_w1 AS DOUBLE)
+                   + 0.30000000000000004
+                     * CAST(u.c_uni AS DOUBLE) / nn.n AS p
+            FROM bi
+            JOIN cb b USING (w1, w2)
+            JOIN cw w USING (w1)
+            JOIN cu u ON bi.w2 = u.tok, nn
+          )
+          SELECT doc_id,
+                 round(avg(ln(p)), 4) AS bigram_logprob,
+                 CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM j GROUP BY doc_id
+        """,
         "key_skew_profile": """
           WITH u AS (
             SELECT 'user_id' AS key_col,

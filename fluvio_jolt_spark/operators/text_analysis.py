@@ -476,3 +476,67 @@ def unigram_divergence(
         )
         .drop("_js_p", "_q_g")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    total_tokens: "int | None" = None,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    interpolated bigram model — the second-order upgrade of
+    unigram_logprob: p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/N, so
+    word-salad documents whose unigrams are individually common but
+    never co-occur (shuffled boilerplate, keyword stuffing) score low
+    where the unigram filter is blind.  Interpolation (rather than
+    backoff) keeps every observed bigram's probability positive without
+    discount bookkeeping.
+
+    100-TB shape: the bigram stream explodes once and is aggregated on
+    the (w1, w2) key; continuation totals c(w1·) REUSE those partials
+    (one more tiny agg, no second pass over text); both count tables
+    join back on their own keys — bigram-vocabulary-sized, never
+    broadcast (the TF-IDF df reasoning).  N is a bounded driver-side
+    count (catalog-stat pattern).  Documents with fewer than two
+    tokens emit no bigrams and are absent from the output (the guard
+    matters: Spark's sequence(1, 0) would count DOWN).  round(.,4)
+    absorbs cross-engine libm ln() and sum-order noise."""
+    l = F.split(F.col(text_col), " ")
+    n = F.size(l)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = df.select(
+        id_col,
+        F.explode(idx).alias("i"),
+        l.alias("_l"),
+    ).select(
+        id_col,
+        F.get("_l", F.col("i") - 1).alias("w1"),
+        F.get("_l", F.col("i")).alias("w2"),
+    )
+
+    uni = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    if total_tokens is None:
+        total_tokens = uni.count()
+    n_corpus = float(total_tokens)
+
+    c_bi = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    c_w1 = c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_w1"))
+    c_uni = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+
+    j = (
+        bi.join(c_bi, ["w1", "w2"])
+        .join(c_w1, "w1")
+        .join(c_uni.withColumnRenamed("tok", "w2"), "w2")
+    )
+    p = (
+        F.lit(float(lam)) * F.col("c_bi").cast("double") / F.col("c_w1").cast("double")
+        + F.lit(1.0 - float(lam)) * F.col("c_uni").cast("double") / F.lit(n_corpus)
+    )
+    return j.groupBy(id_col).agg(
+        F.round(F.avg(F.log(p)), 4).alias("bigram_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

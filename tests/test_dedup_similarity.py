@@ -643,3 +643,44 @@ def test_span_dup_stats_planted_shared_spans(spark):
         assert rows[2]["n_dup_spans"] == 1
         assert rows[3]["n_dup_spans"] == 0
         assert rows[3]["span_dup_frac"] == 0.0
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    import pandas as pd
+    from fluvio_jolt_spark.operators.similarity import quantize_embeddings
+
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [
+            [0.0, 1.0, 0.5, 0.25],      # span 1.0 -> scale 1/255
+            [-2.0, 2.0, 0.0, 1.9],      # span 4.0
+            [3.25, 3.25, 3.25, 3.25],   # constant vector: scale 0
+        ],
+    })
+    out = (
+        quantize_embeddings(spark.createDataFrame(pdf), "embedding")
+        .toPandas().set_index("vec_id")
+    )
+    # max error of uniform quantization <= scale/2
+    assert out.loc[1, "max_abs_err"] <= (1.0 / 255) / 2 + 1e-12
+    assert out.loc[2, "max_abs_err"] <= (4.0 / 255) / 2 + 1e-12
+    # codes within [0, 255]; extremes map to 0 and 255
+    assert min(out.loc[1, "q_codes"]) == 0 and max(out.loc[1, "q_codes"]) == 255
+    # constant vector: all codes 0, zero error, scale 0
+    assert list(out.loc[3, "q_codes"]) == [0, 0, 0, 0]
+    assert out.loc[3, "mean_abs_err"] == 0.0 and out.loc[3, "q_scale"] == 0.0
+
+
+def test_quantize_embeddings_mean_le_max(spark):
+    import pandas as pd
+    import numpy as np
+    from fluvio_jolt_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "vec_id": list(range(20)),
+        "embedding": [rng.normal(size=16).tolist() for _ in range(20)],
+    })
+    out = quantize_embeddings(spark.createDataFrame(pdf), "embedding").toPandas()
+    assert (out["mean_abs_err"] <= out["max_abs_err"] + 1e-15).all()
+    assert (out["n_dims"] == 16).all()

@@ -345,3 +345,40 @@ def test_unigram_divergence_total_tokens_passthrough(spark):
     a = unigram_divergence(df).toPandas().sort_values("source")
     b = unigram_divergence(df, total_tokens=4).toPandas().sort_values("source")
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_bigram_logprob_coherent_beats_salad(spark):
+    import pandas as pd
+    from fluvio_jolt_spark.operators.text_analysis import bigram_logprob
+
+    # docs 1-3 repeat the same bigrams; doc 4 uses the same WORDS in an
+    # order whose bigrams never repeat -> lower interpolated score
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat sat on the mat",
+            "the cat sat on the mat",
+            "the cat sat on the mat",
+            "mat the on sat cat the",
+        ],
+    })
+    out = (
+        bigram_logprob(spark.createDataFrame(pdf))
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[4, "bigram_logprob"] < out.loc[1, "bigram_logprob"]
+    assert (out["n_bigrams"] == 5).all()
+
+
+def test_bigram_logprob_short_docs_absent(spark):
+    import pandas as pd
+    from fluvio_jolt_spark.operators.text_analysis import bigram_logprob
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["one", "", "two words"],
+    })
+    out = bigram_logprob(spark.createDataFrame(pdf)).toPandas()
+    # only doc 3 has a bigram ("two words"); sequence(1,0) guard works
+    assert list(out["doc_id"]) == [3]
+    assert out["n_bigrams"].iloc[0] == 1

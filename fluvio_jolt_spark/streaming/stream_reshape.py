@@ -641,3 +641,92 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    n_buckets: int = 8,
+    capacity: int = 16,
+) -> DataFrame:
+    """Streaming heavy hitters (frequent items) via bucketed
+    space-saving sketches — the at-ingest "what's trending / what's
+    flooding" monitor: per hash-bucket of the key space, a bounded
+    summary of at most ``capacity`` (key, count, err) entries with the
+    space-saving guarantees (count_est ≥ true_count and
+    count_est − err ≤ true_count; any key whose true count exceeds
+    bucket_total/capacity is guaranteed present).
+
+    The global sketch is sharded by ``hash(key) % n_buckets`` so state
+    AND update work parallelize across n_buckets independent groups
+    (each key lives in exactly one bucket, so per-key estimates never
+    need cross-bucket merging); total state is bounded at
+    n_buckets × capacity entries regardless of stream cardinality —
+    the property that lets this run forever on an unbounded key space.
+    Consumers take the global top-k by cnt over the latest summaries.
+
+    Batch-merged space-saving: within a micro-batch each key's
+    occurrences fold in one step (present → cnt += c; room → insert
+    (c, 0); full → evict the current min m, insert (m + c, err=m)),
+    applied in deterministic (-batch_count, key) order, so results are
+    reproducible given the same batch division.  NULL keys are dropped
+    (count them upstream if they matter).  Each micro-batch re-emits
+    the bucket's full current summary (output mode "update"); the
+    latest emission per (bucket, key) is the current estimate.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "bucket int, key string, cnt long, err long"
+    state_schema = "keys array<string>, counts array<long>, errs array<long>"
+
+    keyed = stream_df.filter(F.col(key_col).isNotNull()).select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(int(n_buckets)))
+        .cast("int")
+        .alias("_bucket"),
+        F.col(key_col).cast("string").alias("_k"),
+    )
+
+    cap = int(capacity)
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout operator
+            state.remove()
+            return
+        if state.exists:
+            ks, cs, es = state.get
+            summ = {k: [int(c), int(e)] for k, c, e in zip(ks, cs, es)}
+        else:
+            summ = {}
+        batch: "dict[str, int]" = {}
+        for pdf in pdfs:
+            if len(pdf):
+                for k, c in pdf["_k"].value_counts().items():
+                    batch[k] = batch.get(k, 0) + int(c)
+        for k in sorted(batch, key=lambda k: (-batch[k], k)):
+            c = batch[k]
+            if k in summ:
+                summ[k][0] += c
+            elif len(summ) < cap:
+                summ[k] = [c, 0]
+            else:
+                victim = min(summ, key=lambda k2: (summ[k2][0], k2))
+                m = summ[victim][0]
+                del summ[victim]
+                summ[k] = [m + c, m]
+        items = sorted(summ.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update((
+            [k for k, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+        ))
+        yield pd.DataFrame({
+            "bucket": [int(key[0])] * len(items),
+            "key": [k for k, _ in items],
+            "cnt": [v[0] for _, v in items],
+            "err": [v[1] for _, v in items],
+        })
+
+    return keyed.groupBy("_bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

@@ -1707,16 +1707,65 @@ def _q_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval over a fixed query-term set
+    (operators.text_analysis.bm25_scores): map-only tf expressions,
+    corpus stats folded as driver-side literals, top-k planned as
+    TakeOrderedAndProject. Ties break on the ROUNDED score then
+    doc_id, identically in both lanes."""
+    from fluvio_jolt_spark.operators.text_analysis import bm25_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["spark", "window", "hash"])
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite keep/drop with per-rule reason flags
+    (operators.text_analysis.quality_filter): word-count band,
+    mean-word-length band, stopword floor, repetition caps — pure
+    per-row expressions, zero shuffle."""
+    from fluvio_jolt_spark.operators.text_analysis import quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
+def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and uniform-rebalance resampling
+    weights (operators.text_analysis.mixture_weights) — the
+    training-mix planning table."""
+    from fluvio_jolt_spark.operators.text_analysis import mixture_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_weights(docs)
+
+
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-segment removal with document rewrite
+    (operators.dedup.segment_dedup_rewrite, width=16, md5 oracle
+    lane): the C4 line-level dedup rule — keep the first corpus-wide
+    occurrence of every 16-token segment, reassemble survivors."""
+    from fluvio_jolt_spark.operators.dedup import segment_dedup_rewrite
+
+    docs = _read(spark, sf_dir, "documents")
+    return segment_dedup_rewrite(docs, width=16, hash_family="md5")
+
+
 # Registry order is deliberate: the external correctness gate reads from the
 # FRONT of this dict and checks at most ~50 entries per round.  Rotation
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 74-query registry,
-# 24 queries sit out each round and re-enter the window the next round, so
-# no query's most recent green row is ever more than one round old.
+# block rotates to the tail.  With a 50-row window over a 97-query registry,
+# the rotated-out block sits out one round and re-enters the window the next
+# round, so no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
+    "bm25_topk": _q_bm25_topk,
+    "quality_filter": _q_quality_filter,
+    "mixture_weights": _q_mixture_weights,
+    "segment_dedup": _q_segment_dedup,
     "embedding_quantize": _q_embedding_quantize,
     "dup_cluster_sizes": _q_dup_cluster_sizes,
     "bigram_quality": _q_bigram_quality,
@@ -3250,6 +3299,112 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
                    AS jaccard_next
           FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        """,
+        "bm25_topk": """
+          WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          ), s AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, x -> x = 'spark'))  AS tf0,
+                   len(list_filter(toks, x -> x = 'window')) AS tf1,
+                   len(list_filter(toks, x -> x = 'hash'))   AS tf2
+            FROM t
+          ), st AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM s
+          )
+          SELECT doc_id,
+                 round(
+                     ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                       * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                       * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                       * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                 4) AS bm25,
+                 CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS INT) AS n_terms_hit
+          FROM s, st
+          ORDER BY bm25 DESC, doc_id
+          LIMIT 20
+        """,
+        "quality_filter": """
+          WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
+            FROM documents
+          ), s AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   (lc - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mwl,
+                   len(list_filter(toks, x -> x IN
+                     ('the','a','of','and','to','in','is','that')))
+                     / CAST(len(toks) AS DOUBLE) AS stop,
+                   1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                     AS dupw,
+                   CASE WHEN len(toks) >= 3 THEN
+                     1.0 - len(list_distinct(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+                           / CAST(len(toks) - 2 AS DOUBLE)
+                   ELSE 0.0 END AS dup3
+            FROM t
+          )
+          SELECT doc_id,
+                 n < 20 AS flag_short,
+                 n > 10000 AS flag_long,
+                 (mwl < 3.0 OR mwl > 10.0) AS flag_word_len,
+                 stop < 0.01 AS flag_low_stopword,
+                 (dupw > 0.6 OR dup3 > 0.15) AS flag_repetitive,
+                 NOT (n < 20 OR n > 10000 OR mwl < 3.0 OR mwl > 10.0
+                      OR stop < 0.01 OR dupw > 0.6 OR dup3 > 0.15) AS keep
+          FROM s
+        """,
+        "mixture_weights": """
+          WITH g AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+          ), st AS (
+            SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS s FROM g
+          )
+          SELECT source, n_docs, n_tokens,
+                 round(n_tokens / total, 6) AS token_share,
+                 round(total / (s * n_tokens), 6) AS weight
+          FROM g, st
+        """,
+        "segment_dedup": """
+          WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          ), seg AS (
+            SELECT doc_id, CAST(i AS INT) AS seg_idx,
+                   array_to_string(
+                     list_slice(toks, i * 16 + 1, i * 16 + 16), ' ') AS seg
+            FROM (
+              SELECT doc_id, toks,
+                     unnest(range(0, (len(toks) + 15) // 16)) AS i
+              FROM t
+            )
+          ), h AS (
+            SELECT doc_id, seg_idx, seg,
+                   ('0x' || substr(md5(seg), 1, 15))::BIGINT AS gh
+            FROM seg
+          ), r AS (
+            SELECT doc_id, seg_idx, seg,
+                   row_number() OVER (PARTITION BY gh
+                                      ORDER BY doc_id, seg_idx) AS rn
+            FROM h
+          )
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                     ORDER BY seg_idx), '') AS text_kept
+          FROM r GROUP BY doc_id
         """,
         "token_stats": """
           SELECT doc_id,

@@ -762,3 +762,62 @@ def span_dup_stats(
             ).alias("span_dup_frac"),
         )
     )
+
+
+def segment_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Corpus-wide duplicate-SEGMENT removal with document rewrite —
+    the C4 "deduplicate at the line level across the corpus" rule for
+    token-stream documents: split each document into non-overlapping
+    ``width``-token segments, keep only the FIRST occurrence of each
+    distinct segment corpus-wide (first = lowest (doc_id, seg_idx)),
+    and reassemble each document from its surviving segments in
+    original order. Unlike whole-doc dedup this strips repeated
+    boilerplate embedded inside otherwise-unique documents.
+
+    100-TB shape: segments are built per-row with sequence/slice (no
+    token explode); the dedup key that rides the corpus-wide shuffle
+    is the segment's 60/64-bit hash (``hash_family``: md5 for the
+    cross-engine oracle lane, xxhash64 production) — the window that
+    picks the first occurrence partitions on that fixed-width key, so
+    the text crosses the exchange exactly once (it must: the survivor
+    carries its bytes to the rebuild); the rebuild groupBy(doc_id) is
+    the second and last shuffle. Ties inside one hash bucket order by
+    (doc_id, seg_idx) — deterministic under any partitioning.
+
+    Returns (id, n_segments, n_kept, text_kept) — text_kept is "" when
+    every segment of a document occurred earlier in the corpus."""
+    gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.floor((F.size(toks) + F.lit(width - 1)) / F.lit(width)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    e = df.select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "_seg")).select(
+        id_col, "seg_idx", "_seg", gram_hash(F.col("_seg")).alias("_gh")
+    )
+    w = Window.partitionBy("_gh").orderBy(id_col, "seg_idx")
+    r = e.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct(F.col("seg_idx"), F.col("_seg"))
+    )
+    return (
+        r.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["_seg"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )

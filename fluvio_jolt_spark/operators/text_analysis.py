@@ -540,3 +540,188 @@ def bigram_logprob(
         F.round(F.avg(F.log(p)), 4).alias("bigram_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: "tuple[int, float, list[int]] | None" = None,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    — the classic sparse-retrieval scorer (and the standard "find
+    training docs about X" triage query). Uses the Lucene-style
+    non-negative idf, idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1).
+
+    100-TB shape: per-document term frequencies are pure array
+    expressions over the tokenized text (map-only, no explode — the
+    term set is tiny and fixed, so tf comes from size(filter(...)) per
+    term, not a token shuffle); corpus statistics (N, avgdl, df_t) are
+    ONE bounded driver-side aggregate row folded back as literals
+    (catalog-stat pattern — a lit-keyed 1-row join would constant-fold
+    into a nested-loop join). Callers with a persisted stats table pass
+    ``stats=(n_docs, avg_dl, [df_t per term])`` and the scan is a
+    single map-only pass. idf is computed driver-side on exact-half
+    rationals, so both engines see bit-identical doubles; round(.,4)
+    absorbs tf-normalization division noise.
+
+    Returns (id, bm25, n_terms_hit) — top-k is the caller's
+    orderBy(desc, id).limit(k), which plans as TakeOrderedAndProject.
+    """
+    import math
+
+    toks = F.split(F.col(text_col), " ")
+
+    # closure factory, NOT a default-arg lambda: a 2-param lambda would make
+    # F.filter pass the element INDEX as the second argument
+    def _eq(word):
+        return lambda t: t == F.lit(word)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(w))).alias(f"_tf_{i}")
+        for i, w in enumerate(query_terms)
+    ]
+    s = df.select(F.col(id_col), F.size(toks).alias("_dl"), *tf_cols)
+
+    if stats is None:
+        row = s.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+                for i in range(len(query_terms))
+            ],
+        ).first()
+        n_docs, avg_dl = int(row["n"]), float(row["avgdl"])
+        dfs = [int(row[f"_df_{i}"]) for i in range(len(query_terms))]
+    else:
+        n_docs, avg_dl, dfs = int(stats[0]), float(stats[1]), list(stats[2])
+
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("_dl").cast("double") / F.lit(avg_dl)
+    )
+    score = F.lit(0.0)
+    hits = F.lit(0)
+    for i in range(len(query_terms)):
+        idf = math.log((n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
+        tf = F.col(f"_tf_{i}").cast("double")
+        score = score + F.lit(idf) * tf * F.lit(float(k1) + 1.0) / (tf + norm)
+        hits = hits + (F.col(f"_tf_{i}") > 0).cast("int")
+    return s.select(
+        F.col(id_col),
+        F.round(score, 4).alias("bm25"),
+        hits.alias("n_terms_hit"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 10_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    min_stopword_ratio: float = 0.01,
+    max_dup_word_frac: float = 0.6,
+    max_dup_3gram_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher/C4-style composite keep/drop decision with per-rule
+    reason flags: word-count band, mean-word-length band, minimum
+    stopword ratio, and repetition caps (duplicated-word and
+    duplicated-3-gram fractions). One boolean per rule so downstream
+    audits can census WHY documents were dropped, plus the final
+    ``keep`` conjunction.
+
+    100-TB shape: every rule is a pure per-row array expression over
+    one tokenization — map-only, zero shuffle, zero Python; pipelines
+    directly over the scan with only ``text`` read. Comparisons happen
+    on exact integer-ratio doubles (no rounding needed: both engines
+    compute identical IEEE values from identical integers)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wl = (F.length(text_col).cast("double") - (nd - 1)) / nd
+    stop = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS["en"]))).cast("double") / nd
+    )
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / nd
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_3gram = F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    flag_short = n < F.lit(int(min_words))
+    flag_long = n > F.lit(int(max_words))
+    flag_word_len = (mean_wl < F.lit(float(min_mean_wl))) | (
+        mean_wl > F.lit(float(max_mean_wl))
+    )
+    flag_low_stopword = stop < F.lit(float(min_stopword_ratio))
+    flag_repetitive = (dup_word > F.lit(float(max_dup_word_frac))) | (
+        dup_3gram > F.lit(float(max_dup_3gram_frac))
+    )
+    keep = ~(
+        flag_short | flag_long | flag_word_len | flag_low_stopword | flag_repetitive
+    )
+    return df.select(
+        F.col(id_col),
+        flag_short.alias("flag_short"),
+        flag_long.alias("flag_long"),
+        flag_word_len.alias("flag_word_len"),
+        flag_low_stopword.alias("flag_low_stopword"),
+        flag_repetitive.alias("flag_repetitive"),
+        keep.alias("keep"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    totals: "tuple[int, int] | None" = None,
+) -> DataFrame:
+    """Per-source resampling weights that rebalance the corpus token
+    mixture to uniform across sources — the training-mix planning
+    query (how much to up/down-sample each source so every source
+    contributes equal token mass): weight_g = (1/S) / share_g where
+    share_g = tokens_g / N.
+
+    100-TB shape: one partial-agg'd groupBy(source) is the only
+    shuffle; corpus totals (N tokens, S sources) are a bounded
+    driver-side aggregate over the already-grouped S-row frame, folded
+    back as literals (catalog-stat pattern — avoids both a lit-key
+    BNLJ and a global window over the grouped frame). Callers with a
+    persisted stats row pass ``totals=(total_tokens, n_groups)``."""
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    )
+    if totals is None:
+        row = g.agg(
+            F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("s")
+        ).first()
+        total_tokens, n_groups = int(row["t"]), int(row["s"])
+    else:
+        total_tokens, n_groups = int(totals[0]), int(totals[1])
+    share = F.col("n_tokens").cast("double") / F.lit(float(total_tokens))
+    weight = F.lit(float(total_tokens)) / (
+        F.lit(float(n_groups)) * F.col("n_tokens").cast("double")
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("weight"),
+    )

@@ -684,3 +684,70 @@ def test_quantize_embeddings_mean_le_max(spark):
     out = quantize_embeddings(spark.createDataFrame(pdf), "embedding").toPandas()
     assert (out["mean_abs_err"] <= out["max_abs_err"] + 1e-15).all()
     assert (out["n_dims"] == 16).all()
+
+
+# ------------------------------------------------- segment_dedup_rewrite
+
+
+def test_segment_dedup_unique_docs_unchanged(spark):
+    """Documents with no shared segments survive byte-identical."""
+    from fluvio_jolt_spark.operators.dedup import segment_dedup_rewrite
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(40))),
+        (2, " ".join(f"b{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in segment_dedup_rewrite(df, width=16).collect()}
+    for did, text in rows:
+        assert out[did].text_kept == text
+        assert out[did].n_kept == out[did].n_segments == 3
+
+
+def test_segment_dedup_full_duplicate_doc_emptied(spark):
+    """An exact duplicate of an earlier doc loses every segment; the
+    earlier (lower doc_id) copy keeps all of them."""
+    from fluvio_jolt_spark.operators.dedup import segment_dedup_rewrite
+
+    text = " ".join(f"w{i}" for i in range(32))
+    df = spark.createDataFrame([(7, text), (9, text)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in segment_dedup_rewrite(df, width=16).collect()}
+    assert out[7].text_kept == text and out[7].n_kept == 2
+    assert out[9].text_kept == "" and out[9].n_kept == 0
+    assert out[9].n_segments == 2
+
+
+def test_segment_dedup_strips_embedded_boilerplate(spark):
+    """A repeated 16-token block inside an otherwise-unique doc is
+    removed from the later doc only — the C4 line-dedup behavior
+    whole-doc dedup cannot express."""
+    from fluvio_jolt_spark.operators.dedup import segment_dedup_rewrite
+
+    boiler = " ".join(f"bp{i}" for i in range(16))
+    a = boiler + " " + " ".join(f"a{i}" for i in range(16))
+    b = boiler + " " + " ".join(f"b{i}" for i in range(16))
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in segment_dedup_rewrite(df, width=16).collect()}
+    assert out[1].text_kept == a
+    assert out[2].text_kept == " ".join(f"b{i}" for i in range(16))
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+
+
+def test_segment_dedup_short_doc_single_segment(spark):
+    """Docs shorter than one width still form exactly one segment."""
+    from fluvio_jolt_spark.operators.dedup import segment_dedup_rewrite
+
+    df = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    (r,) = segment_dedup_rewrite(df, width=16).collect()
+    assert (r.n_segments, r.n_kept, r.text_kept) == (1, 1, "x y z")
+
+
+def test_segment_dedup_hash_families_agree_on_census(spark):
+    """xxhash64 production lane and md5 oracle lane pick identical
+    survivors (no collisions at this scale)."""
+    from fluvio_jolt_spark.operators.dedup import segment_dedup_rewrite
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, segment_dedup_rewrite(docs, hash_family="md5").collect()))
+    b = sorted(map(tuple, segment_dedup_rewrite(docs, hash_family="xxhash64").collect()))
+    assert a == b

@@ -382,3 +382,144 @@ def test_bigram_logprob_short_docs_absent(spark):
     # only doc 3 has a bigram ("two words"); sequence(1,0) guard works
     assert list(out["doc_id"]) == [3]
     assert out["n_bigrams"].iloc[0] == 1
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, one term — verify against a hand BM25 (k1=1.2,
+    b=0.75, Lucene idf)."""
+    import math
+
+    from fluvio_jolt_spark.operators.text_analysis import bm25_scores
+
+    rows = [
+        (1, "cat cat dog"),
+        (2, "cat bird bird bird"),
+        (3, "fish fish fish"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.bm25, r.n_terms_hit)
+        for r in bm25_scores(df, ["cat"]).collect()
+    }
+    n, avgdl, dft = 3, 10 / 3, 2
+    idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out[1] == (round(score(2, 3), 4), 1)
+    assert out[2] == (round(score(1, 4), 4), 1)
+    assert out[3] == (0.0, 0)
+
+
+def test_bm25_stats_passthrough_matches_self_computed(spark):
+    """Passing precomputed (n, avgdl, dfs) must reproduce the
+    self-computed scores — the persisted-stats serving path."""
+    from fluvio_jolt_spark.operators.text_analysis import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["spark", "window"]
+    auto = bm25_scores(docs, terms)
+    toks = F.split(F.col("text"), " ")
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"d{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    manual = bm25_scores(
+        docs, terms, stats=(row["n"], row["avgdl"], [row["d0"], row["d1"]])
+    )
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, manual.collect()))
+    assert a == b
+
+
+def test_bm25_term_frequency_monotone(spark):
+    """More occurrences of the query term (same doc length) never
+    lowers the score."""
+    from fluvio_jolt_spark.operators.text_analysis import bm25_scores
+
+    rows = [
+        (1, "cat pad pad pad"),
+        (2, "cat cat pad pad"),
+        (3, "cat cat cat pad"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.bm25 for r in bm25_scores(df, ["cat"]).collect()}
+    assert out[1] <= out[2] <= out[3]
+
+
+def test_bm25_plan_is_map_only(spark):
+    """The scoring pass after stats folding must be shuffle-free."""
+    from fluvio_jolt_spark.operators.text_analysis import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bm25_scores(docs, ["spark"], stats=(500, 55.0, [100]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------- quality_filter
+
+
+def test_quality_filter_planted_rules(spark):
+    """Each rule trips on a purpose-built document."""
+    from fluvio_jolt_spark.operators.text_analysis import quality_filter
+
+    good = "the quick brown fox jumps over a lazy dog near the old stone " \
+           "bridge while a cold wind blows through the tall green trees today"
+    rows = [
+        (1, good),                                  # keeps
+        (2, "the a of short"),                      # flag_short
+        (3, "the " + "abcdefghijklmnop " * 39 + "the"),  # flag_word_len (long words)
+        (4, "alpha beta gamma delta " * 10),        # flag_low_stopword + repetitive
+        (5, ("the a " * 15) + "of and to in is that now then"),  # repetitive dup words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict() for r in quality_filter(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["flag_short"] and not out[2]["keep"]
+    assert out[3]["flag_word_len"] and not out[3]["keep"]
+    assert out[4]["flag_low_stopword"] and out[4]["flag_repetitive"]
+    assert out[5]["flag_repetitive"] and not out[5]["keep"]
+
+
+def test_quality_filter_plan_is_map_only(spark):
+    from fluvio_jolt_spark.operators.text_analysis import quality_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------ mixture_weights
+
+
+def test_mixture_weights_rebalance_identity(spark):
+    """share·weight = 1/S for every group, and shares sum to 1."""
+    from fluvio_jolt_spark.operators.text_analysis import mixture_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = mixture_weights(docs).collect()
+    s = len(rows)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.token_share * r.weight - 1.0 / s) < 1e-4
+
+
+def test_mixture_weights_totals_passthrough(spark):
+    from fluvio_jolt_spark.operators.text_analysis import mixture_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    auto = mixture_weights(docs)
+    total = sum(r.n_tokens for r in auto.collect())
+    manual = mixture_weights(docs, totals=(total, auto.count()))
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, manual.collect())
+    )

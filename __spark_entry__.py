@@ -1752,17 +1752,71 @@ def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup_rewrite(docs, width=16, hash_family="md5")
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval construction over the events change
+    stream (operators.asof.scd2_intervals): half-open [from, to) per
+    user, deterministic (ts, event_id) chain order, one window
+    shuffle for lead + row_number together."""
+    from fluvio_jolt_spark.operators.asof import scd2_intervals
+
+    ev = _read(spark, sf_dir, "events")
+    out = scd2_intervals(ev, entity_col="user_id", ts_col="ts", tie_col="event_id")
+    return out.select(
+        "user_id",
+        "version",
+        "valid_from_us",
+        "valid_to_us",
+        "is_current",
+        F.round("value", 4).alias("value"),
+    )
+
+
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clustering: connected components
+    (HashMin) over the SRP-blocked cosine>=0.4 candidate graph —
+    the vector-side twin of dup_clusters; every vector gets a
+    cluster id (min vec_id of its component) and an is_canonical
+    keep-flag. Oracle: recursive CTE over the identical SRP
+    candidate SQL."""
+    from fluvio_jolt_spark.operators.dedup import connected_components
+    from fluvio_jolt_spark.operators.similarity import embedding_near_dup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cands = embedding_near_dup(
+        emb,
+        n_planes=NEAR_DUP_PLANES,
+        threshold=0.4,
+        seed=ANN_SEED,
+        n_tables=NEAR_DUP_TABLES,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    comp = connected_components(cands.select("id_a", "id_b"), "id_a", "id_b")
+    vid = F.col("vec_id").cast("long")
+    return (
+        emb.select(vid.alias("vec_id"))
+        .join(comp, F.col("vec_id") == F.col("v"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")
+             ).alias("is_canonical"),
+        )
+    )
+
+
 # Registry order is deliberate: the external correctness gate reads from the
 # FRONT of this dict and checks at most ~50 entries per round.  Rotation
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 97-query registry,
+# block rotates to the tail.  With a 50-row window over a 99-query registry,
 # the rotated-out block sits out one round and re-enters the window the next
 # round, so no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
     "bm25_topk": _q_bm25_topk,
+    "scd2_intervals": _q_scd2_intervals,
+    "embedding_clusters": _q_embedding_clusters,
     "quality_filter": _q_quality_filter,
     "mixture_weights": _q_mixture_weights,
     "segment_dedup": _q_segment_dedup,
@@ -2171,6 +2225,37 @@ def _dup_clusters_oracle() -> str:
                  CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
                  COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
           FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+        """
+
+
+def _embedding_clusters_oracle() -> str:
+    """Connected components (exact recursive-CTE fixpoint) over the
+    identical SRP-blocked cosine candidate set, left-joined back to
+    all vectors so singletons label themselves — the vector-side twin
+    of _dup_clusters_oracle."""
+    cands = _embedding_near_dup_oracle(
+        n_planes=NEAR_DUP_PLANES,
+        threshold=0.4,
+        n_tables=NEAR_DUP_TABLES,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    return f"""
+          WITH RECURSIVE cands AS ({cands}
+          ), e AS (
+            SELECT id_a AS a, id_b AS b FROM cands
+            UNION ALL
+            SELECT id_b, id_a FROM cands
+          ), reach(v, lbl) AS (
+            SELECT DISTINCT a, a FROM e
+            UNION
+            SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.v
+          ), comp AS (
+            SELECT v, MIN(lbl) AS component FROM reach GROUP BY v
+          )
+          SELECT em.vec_id,
+                 CAST(COALESCE(c.component, em.vec_id) AS BIGINT) AS cluster_id,
+                 COALESCE(c.component, em.vec_id) = em.vec_id AS is_canonical
+          FROM embeddings em LEFT JOIN comp c ON c.v = em.vec_id
         """
 
 
@@ -3207,6 +3292,21 @@ def oracle_sql() -> dict[str, str]:
           JOIN cnt nb ON nb.label = b.label
         """,
         "dup_clusters": _dup_clusters_oracle(),
+        "embedding_clusters": _embedding_clusters_oracle(),
+        "scd2_intervals": """
+          SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts NULLS FIRST, event_id) AS version,
+                 epoch_us(ts) AS valid_from_us,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts NULLS FIRST, event_id)
+                   AS valid_to_us,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts NULLS FIRST, event_id)
+                   IS NULL AS is_current,
+                 round(value, 4) AS value
+          FROM events
+        """,
         "ann_lsh_topk": _ann_oracle(),
         "ann_batch_topk": _ann_batch_oracle(),
         "image_features": _image_features_oracle(n=48),

@@ -436,3 +436,40 @@ def asof_join_pandas(
         .cogroup(right.groupBy(by))
         .applyInPandas(merge, schema=schema)
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval construction: turn a
+    change-event stream into half-open validity intervals
+    [valid_from, valid_to) per entity — the table an as-of join (or a
+    DuckDB/warehouse ``BETWEEN``-range join) consumes. valid_to is the
+    NEXT change's timestamp; the latest version per entity is open
+    (valid_to NULL, is_current true). Version numbers count from 1 in
+    change order, ties broken by ``tie_col`` so the interval chain is
+    deterministic under any partitioning.
+
+    100-TB shape: ONE window shuffle on the entity key serves lead()
+    and row_number() together (same partitionBy/orderBy, one Exchange +
+    one sort); no join, no second pass. Emits epoch-µs integers (exact
+    cross-engine arithmetic, the repo-wide timestamp convention).
+
+    Reference parity: this is the snapshot-build counterpart of the
+    as-of consumers above (asof_join et al.) — the reference's host
+    runtime has no temporal operators at all (fluvio-jolt is a
+    per-record reshaper; smartmodule/src/lib.rs:35-44), so this is
+    part of the grafted temporal feature set."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tie_col)
+    vf = F.unix_micros(F.col(ts_col))
+    vt = F.lead(F.unix_micros(F.col(ts_col))).over(w)
+    return df.select(
+        F.col("*"),
+        F.row_number().over(w).alias("version"),
+        vf.alias("valid_from_us"),
+        vt.alias("valid_to_us"),
+        vt.isNull().alias("is_current"),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from fluvio_jolt_spark.operators.asof import (
     asof_join,
@@ -418,3 +419,67 @@ def test_asof_tolerance_staleness_bound(spark):
         .toPandas().set_index("i")["v"]
     )
     assert base[2] == 10.0
+
+
+# ------------------------------------------------------- scd2_intervals
+
+
+def test_scd2_chain_invariants(spark):
+    """Per entity: versions are 1..n in ts order, consecutive intervals
+    abut exactly (valid_to == next valid_from), exactly one open
+    current row."""
+    from fluvio_jolt_spark.operators.asof import scd2_intervals
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = scd2_intervals(ev).select(
+        "user_id", "version", "valid_from_us", "valid_to_us", "is_current"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.is_current for r in rows) == 1
+        assert rows[-1].is_current and rows[-1].valid_to_us is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.valid_from_us <= a.valid_to_us
+
+
+def test_scd2_single_window_shuffle(spark):
+    """lead and row_number share one Exchange + one Sort."""
+    from fluvio_jolt_spark.operators.asof import scd2_intervals
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = scd2_intervals(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_asof_consistency(spark):
+    """Point-in-time lookup through the intervals (BETWEEN semantics)
+    equals the as-of join's last-value-<= semantics on the same
+    stream — the SCD2 table and the as-of operator must agree."""
+    from fluvio_jolt_spark.operators.asof import scd2_intervals
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = scd2_intervals(ev)
+    probe_us = int(
+        ev.agg(F.percentile_approx(F.unix_micros("ts"), 0.5)).first()[0]
+    )
+    via_intervals = {
+        r.user_id: r.version
+        for r in iv.filter(
+            (F.col("valid_from_us") <= probe_us)
+            & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > probe_us))
+        ).collect()
+    }
+    via_window = {
+        r.user_id: r.version
+        for r in iv.filter(F.col("valid_from_us") <= probe_us)
+        .groupBy("user_id")
+        .agg(F.max("version").alias("version"))
+        .collect()
+    }
+    assert via_intervals == via_window and via_intervals

@@ -1804,6 +1804,43 @@ def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+# cumulative boundaries exactly as hash_split accumulates them (the repr
+# float literals reparse to the identical doubles in any IEEE engine)
+_SPLIT_B: "list[tuple[str, float]]" = []
+_cum = 0.0
+for _name, _frac in list(SPLIT_FRACTIONS.items())[:-1]:
+    _cum += _frac
+    _SPLIT_B.append((_name, _cum))
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test carving (operators.sampling.
+    hash_split, md5 lane): cumulative-boundary assignment on a pure
+    hash-uniform draw — identical across runs/engines/cluster sizes,
+    the property that keeps eval sets leak-free when many jobs carve
+    the same corpus. Map-side arithmetic, zero shuffle."""
+    from fluvio_jolt_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = hash_split(docs, SPLIT_FRACTIONS, id_col="doc_id", hash_family="md5")
+    return out.select("doc_id", "split")
+
+
+def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (operators.text_analysis.
+    boilerplate_prefixes): top-3 most common 24-char normalized
+    prefixes per source and the share of the source's docs carrying
+    each — the strip-before-dedup signal. Two-level hash agg on
+    (source, prefix); windows only over the aggregated set."""
+    from fluvio_jolt_spark.operators.text_analysis import boilerplate_prefixes
+
+    docs = _read(spark, sf_dir, "documents")
+    return boilerplate_prefixes(
+        docs, group_col="source", prefix_len=24, top_k=3
+    )
+
+
 # Registry order is deliberate: the external correctness gate reads from the
 # FRONT of this dict and checks at most ~50 entries per round.  Rotation
 # policy (round-robin, not permanent exemption): queries are ordered by the
@@ -1814,6 +1851,8 @@ def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round, so no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
+    "split_assign": _q_split_assign,
+    "boilerplate_prefix": _q_boilerplate_prefix,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3399,6 +3438,44 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
                    AS jaccard_next
           FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        """,
+        "split_assign": f"""
+          SELECT doc_id,
+                 CASE
+                   WHEN u <= {_SPLIT_B[0][1]!r} THEN '{_SPLIT_B[0][0]}'
+                   WHEN u <= {_SPLIT_B[1][1]!r} THEN '{_SPLIT_B[1][0]}'
+                   ELSE 'test'
+                 END AS split
+          FROM (
+            SELECT doc_id,
+                   ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT + 1)
+                    / 1152921504606846976.0) AS u
+            FROM documents
+          )
+        """,
+        "boilerplate_prefix": """
+          WITH p AS (
+            SELECT source,
+                   substr(lower(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')),
+                          1, 24) AS prefix
+            FROM documents
+          ), c AS (
+            SELECT source, prefix, COUNT(*) AS n_docs
+            FROM p GROUP BY source, prefix
+          ), r AS (
+            SELECT source, prefix, n_docs,
+                   CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                     AS grp_total,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY n_docs DESC, prefix ASC) AS INTEGER) AS rank
+            FROM c
+          )
+          SELECT source, prefix, n_docs, grp_total,
+                 CAST(n_docs AS DOUBLE) / CAST(grp_total AS DOUBLE) AS share,
+                 rank
+          FROM r WHERE rank <= 3
         """,
         "bm25_topk": """
           WITH t AS (

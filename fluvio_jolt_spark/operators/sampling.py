@@ -119,3 +119,59 @@ def rendezvous_shard(
         ]
     )
     return df.withColumn(out_col, F.array_max(scores)["s"])
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: "dict[str, float]",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test carving: assign each row to a named
+    split by cumulative-boundary test on a pure hash-uniform draw from
+    its id.  No RNG state, so the assignment is identical across runs,
+    engines, partitionings and cluster sizes — re-running the pipeline
+    (or running eval extraction in a different job) always carves the
+    same rows, which is the property that keeps eval sets leak-free
+    when the same 100 TB corpus feeds many training jobs.
+
+    ``fractions`` is an ordered name→fraction mapping summing to 1;
+    boundaries are the Python-accumulated cumulative sums (float
+    arithmetic is IEEE-reproducible, so any engine recomputing the same
+    literals assigns identically).  The draw is u in (0, 1] from
+    ``_unit_hash`` (md5 lane = cross-engine-checkable, xxhash64 =
+    production).
+
+    100-TB shape: map-side arithmetic only — a scan-side projection
+    with zero shuffle; downstream per-split filters push straight into
+    the same scan."""
+    items = list(fractions.items())
+    if len(items) < 1:
+        raise ValueError("fractions must be non-empty")
+    total = sum(f for _, f in items)
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    u = _unit_hash(F.col(id_col), hash_family)
+    assign = None
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = u <= F.lit(cum)
+        assign = F.when(cond, name) if assign is None else assign.when(cond, name)
+    last = items[-1][0]
+    assign = F.lit(last) if assign is None else assign.otherwise(last)
+    return df.withColumn(split_col, assign)
+
+
+def split_boundaries(fractions: "dict[str, float]") -> "list[tuple[str, float]]":
+    """The exact cumulative boundaries ``hash_split`` compares against
+    (all but the last split), accumulated in the same float order — use
+    these literals when reproducing the assignment in another engine."""
+    items = list(fractions.items())
+    out = []
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += frac
+        out.append((name, cum))
+    return out

@@ -729,3 +729,58 @@ def mixture_weights(
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("weight"),
     )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    prefix_len: int = 24,
+    top_k: int = 1,
+) -> DataFrame:
+    """Boilerplate detection: the most common fixed-length normalized
+    document prefixes per group (source/domain) and the fraction of the
+    group's documents sharing each — the signal a C4/CCNet-style
+    pipeline uses to find and strip shared headers, cookie banners and
+    license preambles before dedup (boilerplate inflates near-dup
+    similarity and wastes training tokens).
+
+    Normalization matches ``with_fingerprint``: lowercase + whitespace
+    runs collapsed to single spaces, so cosmetic formatting differences
+    don't split a boilerplate bucket.
+
+    100-TB shape: a map-side substring projection followed by two-level
+    hash aggregation on (group, prefix) — partial aggregation collapses
+    each partition to its distinct prefixes before the shuffle, so the
+    exchange carries ~unique-prefix rows, not documents; the per-group
+    top-k and share are a row_number/sum window over that already-tiny
+    aggregate (never over raw docs).  Raising prefix_len sharpens
+    precision at the cost of bucket fragmentation."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"[ \t\n\r]+", " "))
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.substring(norm, 1, int(prefix_len)).alias("prefix"),
+        )
+        .groupBy("grp", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    by_grp = Window.partitionBy("grp")
+    ranked = counts.withColumn("grp_total", F.sum("n_docs").over(by_grp)).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.col("n_docs").desc(), F.col("prefix").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= int(top_k)).select(
+        F.col("grp").alias(group_col),
+        "prefix",
+        "n_docs",
+        "grp_total",
+        (F.col("n_docs").cast("double") / F.col("grp_total").cast("double")).alias(
+            "share"
+        ),
+        F.col("rank"),
+    )

@@ -93,3 +93,44 @@ def test_rendezvous_shard_xxhash_lane_same_shape(docs):
 def test_rendezvous_shard_rejects_bad_n():
     with pytest.raises(ValueError):
         rendezvous_shard(None, "doc_id", n_shards=0)
+
+
+# ---------------------------------------------------------------- hash_split
+
+from fluvio_jolt_spark.operators.sampling import hash_split, split_boundaries
+
+
+def test_hash_split_partitions_everything_once(docs):
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     hash_family="md5").toPandas()
+    assert len(out) == 400
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # proportions in a loose band at n=400
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.70 < frac["train"] < 0.90
+    assert frac.get("val", 0) > 0.03 and frac.get("test", 0) > 0.03
+
+
+def test_hash_split_invariant_to_partitioning(docs):
+    a = (hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                    hash_family="md5")
+         .toPandas().set_index("doc_id")["split"])
+    b = (hash_split(docs.repartition(7), {"train": 0.8, "val": 0.1,
+                                          "test": 0.1}, hash_family="md5")
+         .toPandas().set_index("doc_id")["split"])
+    assert (a.sort_index() == b.sort_index()).all()
+
+
+def test_hash_split_xxhash_lane_and_boundaries(docs):
+    out = hash_split(docs, {"train": 0.5, "rest": 0.5}).toPandas()
+    assert set(out["split"]) == {"train", "rest"}
+    bounds = split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [n for n, _ in bounds] == ["train", "val"]
+    assert bounds[0][1] == 0.8 and bounds[1][1] == 0.8 + 0.1
+
+
+def test_hash_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        hash_split(docs, {})

@@ -523,3 +523,42 @@ def test_mixture_weights_totals_passthrough(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, manual.collect())
     )
+
+
+def test_boilerplate_prefixes_planted(spark):
+    """Plant a shared header in 6 of 9 docs of one source; the detector
+    must surface it as the top prefix with share 6/9, and normalization
+    must fold case/whitespace variants into the same bucket."""
+    from fluvio_jolt_spark.operators.text_analysis import boilerplate_prefixes
+
+    header = "COOKIE  Notice:\tplease accept our terms "
+    rows = [(i, header + f"unique body {i}", "web") for i in range(6)]
+    rows += [(i, f"organic document {i} with no header", "web")
+             for i in range(6, 9)]
+    rows += [(100 + i, f"other source doc {i}", "wiki") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    out = boilerplate_prefixes(df, group_col="source", prefix_len=24,
+                               top_k=1).toPandas()
+    web = out[out["source"] == "web"].iloc[0]
+    # lowercased + whitespace-collapsed prefix of the planted header
+    assert web["prefix"] == "cookie notice: please ac"
+    assert web["n_docs"] == 6 and web["grp_total"] == 9
+    assert abs(web["share"] - 6 / 9) < 1e-12
+    assert web["rank"] == 1
+    assert (out[out["source"] == "wiki"]["grp_total"] == 4).all()
+
+
+def test_boilerplate_prefixes_tiebreak_and_topk(spark):
+    """Equal-count prefixes order lexicographically; top_k returns that
+    many per group."""
+    from fluvio_jolt_spark.operators.text_analysis import boilerplate_prefixes
+
+    rows = [(1, "bbbb x", "s"), (2, "bbbb y", "s"),
+            (3, "aaaa x", "s"), (4, "aaaa y", "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = (boilerplate_prefixes(df, group_col="source", prefix_len=4,
+                                top_k=2)
+           .orderBy("rank").toPandas())
+    assert list(out["prefix"]) == ["aaaa", "bbbb"]
+    assert list(out["rank"]) == [1, 2]

@@ -1827,6 +1827,55 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def _q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection (operators.dedup.
+    prefix_dup_candidates, md5 lane) over the corpus plus a planted
+    truncation of every 10th document (first half of its text,
+    doc_id+100000) — the re-crawl cutoff case exact dedup misses.
+    Blocking shuffles only (id, prefix-hash, len); normalized text
+    joins back by id for capped candidates only."""
+    from fluvio_jolt_spark.operators.dedup import prefix_dup_candidates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(
+            "text", F.lit(1), F.floor(F.length("text") / 2).cast("int")
+        ).alias("text"),
+    )
+    uni = docs.unionByName(trunc)
+    return prefix_dup_candidates(uni, window=32, bucket_cap=64, hash_family="md5")
+
+
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card in ONE aggregation pass: doc/token/
+    char totals, language breadth, and PII incidence — the composition
+    of with_token_counts + with_pii_scan collapsed by Catalyst into a
+    single scan + one hash-agg shuffle (all per-row work is map-side).
+    All aggregates are integer sums (exact cross-engine); the two rates
+    are single exact divisions of those sums."""
+    from fluvio_jolt_spark.operators.text_analysis import (
+        with_pii_scan,
+        with_token_counts,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    enr = with_pii_scan(with_token_counts(docs))
+    agg = enr.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_distinct_tokens").alias("total_distinct_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("pii_flag").cast("long").alias("pii_docs"),
+    )
+    return agg.select(
+        "*",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias("avg_tokens"),
+        F.round(F.col("pii_docs") / F.col("n_docs"), 6).alias("pii_rate"),
+    )
+
+
 def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection (operators.text_analysis.
     boilerplate_prefixes): top-3 most common 24-char normalized
@@ -1853,6 +1902,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
     "split_assign": _q_split_assign,
     "boilerplate_prefix": _q_boilerplate_prefix,
+    "prefix_dups": _q_prefix_dups,
+    "corpus_report": _q_corpus_report,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3453,6 +3504,59 @@ def oracle_sql() -> dict[str, str]:
                     / 1152921504606846976.0) AS u
             FROM documents
           )
+        """,
+        "corpus_report": r"""
+          WITH e AS (
+            SELECT source, lang, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                     AS n_distinct_tokens,
+                   CASE WHEN len(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                          OR len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
+                          OR len(regexp_extract_all(text, '[0-9]{7,}')) > 0
+                        THEN 1 ELSE 0 END AS pii_flag
+            FROM documents
+          )
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(SUM(n_distinct_tokens) AS BIGINT)
+                   AS total_distinct_tokens,
+                 CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 CAST(SUM(pii_flag) AS BIGINT) AS pii_docs,
+                 round(CAST(SUM(n_tokens) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS avg_tokens,
+                 round(CAST(SUM(pii_flag) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS pii_rate
+          FROM e GROUP BY source
+        """,
+        "prefix_dups": """
+          WITH uni AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+                   substr(text, 1,
+                          CAST(floor(length(text) / 2) AS INTEGER))
+            FROM documents WHERE doc_id % 10 = 0
+          ), n AS (
+            SELECT doc_id AS id,
+                   lower(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS norm
+            FROM uni
+          ), b AS (
+            SELECT id, norm, length(norm) AS len,
+                   ('0x' || substr(md5(substr(norm, 1, 32)), 1, 15))::BIGINT
+                     AS pk
+            FROM n WHERE length(norm) >= 32
+          ), c AS (
+            SELECT * FROM b
+            QUALIFY COUNT(*) OVER (PARTITION BY pk) <= 64
+          )
+          SELECT a.id AS dup_id, t.id AS container_id,
+                 a.len AS len_dup, t.len AS len_container
+          FROM c a JOIN c t ON a.pk = t.pk AND a.len < t.len
+          WHERE substr(t.norm, 1, a.len) = a.norm
         """,
         "boilerplate_prefix": """
           WITH p AS (

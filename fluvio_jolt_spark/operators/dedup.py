@@ -821,3 +821,71 @@ def segment_dedup_rewrite(
             ).alias("text_kept"),
         )
     )
+
+
+def prefix_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    bucket_cap: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Truncation-duplicate detection: verified pairs (dup, container)
+    where the shorter document's normalized text is a strict prefix of
+    the longer's — the re-crawl / paywall / render-cutoff case that
+    exact dedup misses (hashes differ) and shingle LSH only catches
+    when the truncation keeps most of the shingles.
+
+    Normalization matches ``with_fingerprint`` (lowercase + whitespace
+    runs collapsed), under which truncation is prefix-stable: cutting
+    raw text anywhere — even mid-whitespace-run — leaves a normalized
+    string that is still a character prefix of the normalized full
+    document.
+
+    100-TB shape: block on the hash of the first ``window`` normalized
+    chars; the blocking self-join shuffles only (id, prefix-hash, len)
+    — text never rides it.  ``_cap_buckets`` bounds pathological
+    buckets (shared boilerplate openers) exactly as the LSH family
+    does.  Verification re-joins the normalized text BY ID for the
+    surviving candidate pairs only, then checks true prefix equality,
+    so the wide column moves for candidates, not the corpus.  Docs
+    shorter than ``window`` after normalization are out of scope (no
+    stable block key); route them through exact dedup.
+
+    Returns (dup_id, container_id, len_dup, len_container)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"[ \t\n\r]+", " "))
+    h = md5_60 if hash_family == "md5" else F.xxhash64
+    base = (
+        df.select(F.col(id_col).cast("long").alias("id"), norm.alias("norm"))
+        .withColumn("len", F.length("norm"))
+        .filter(F.col("len") >= int(window))
+    )
+    keyed = base.select(
+        "id", "len", h(F.substring("norm", 1, int(window))).alias("pk")
+    )
+    capped = _cap_buckets(keyed, ["pk"], bucket_cap)
+    a = capped.select(
+        F.col("pk"), F.col("id").alias("dup_id"), F.col("len").alias("len_dup")
+    )
+    b = capped.select(
+        F.col("pk").alias("pk_b"),
+        F.col("id").alias("container_id"),
+        F.col("len").alias("len_container"),
+    )
+    cand = a.join(
+        b,
+        (F.col("pk") == F.col("pk_b")) & (F.col("len_dup") < F.col("len_container")),
+    ).select("dup_id", "container_id", "len_dup", "len_container")
+    na = base.select(F.col("id").alias("dup_id"), F.col("norm").alias("_norm_a"))
+    nb = base.select(
+        F.col("id").alias("container_id"), F.col("norm").alias("_norm_b")
+    )
+    return (
+        cand.join(na, "dup_id")
+        .join(nb, "container_id")
+        .filter(
+            F.col("_norm_b").substr(F.lit(1), F.col("len_dup")) == F.col("_norm_a")
+        )
+        .select("dup_id", "container_id", "len_dup", "len_container")
+    )

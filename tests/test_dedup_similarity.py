@@ -751,3 +751,45 @@ def test_segment_dedup_hash_families_agree_on_census(spark):
     a = sorted(map(tuple, segment_dedup_rewrite(docs, hash_family="md5").collect()))
     b = sorted(map(tuple, segment_dedup_rewrite(docs, hash_family="xxhash64").collect()))
     assert a == b
+
+
+def test_prefix_dup_candidates_planted(spark):
+    """Truncations (even cut mid-whitespace-run) are detected; unrelated
+    docs and sub-window docs are not; equal-length pairs are excluded."""
+    from fluvio_jolt_spark.operators.dedup import prefix_dup_candidates
+
+    full = "The  QUICK brown\tfox jumps over the lazy dog " * 4
+    rows = [
+        (1, full),
+        (2, full[: len(full) // 2]),          # clean truncation
+        (3, full[:47]),                        # cut inside whitespace run
+        (4, "completely different text that stands alone here"),
+        (5, "short"),                          # below window -> out of scope
+        (6, full),                             # exact dup of 1: equal len, excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prefix_dup_candidates(df, window=32, hash_family="md5").toPandas()
+    pairs = set(zip(out["dup_id"], out["container_id"]))
+    assert (2, 1) in pairs and (3, 1) in pairs
+    assert (2, 6) in pairs and (3, 6) in pairs  # container family both ways
+    assert (3, 2) in pairs                      # 3 is also a prefix of 2
+    assert not any(d == 4 or c == 4 for d, c in pairs)
+    assert not any(d == 5 or c == 5 for d, c in pairs)
+    assert (1, 6) not in pairs and (6, 1) not in pairs  # strict len only
+    assert (out["len_dup"] < out["len_container"]).all()
+
+
+def test_prefix_dup_blocking_is_narrow(spark):
+    """The blocking self-join's shuffle must not carry the text column:
+    no Exchange in the candidate stage includes 'norm'."""
+    from fluvio_jolt_spark.operators.dedup import prefix_dup_candidates
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body padding padding padding number "),
+                 F.col("id")).alias("text"),
+    )
+    out = prefix_dup_candidates(df, window=16)
+    plan = out._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1847,6 +1847,17 @@ def _q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dup_candidates(uni, window=32, bucket_cap=64, hash_family="md5")
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for RAG / context-window prep
+    (operators.text_analysis.chunk_documents, 64-token chunks, 16
+    overlap): provenance-preserving (doc_id, chunk_idx, start/end)
+    pure-array arithmetic — map-only, zero shuffle, no Python."""
+    from fluvio_jolt_spark.operators.text_analysis import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap_tokens=16)
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card in ONE aggregation pass: doc/token/
     char totals, language breadth, and PII incidence — the composition
@@ -1904,6 +1915,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_prefix": _q_boilerplate_prefix,
     "prefix_dups": _q_prefix_dups,
     "corpus_report": _q_corpus_report,
+    "chunk_docs": _q_chunk_documents,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3504,6 +3516,27 @@ def oracle_sql() -> dict[str, str]:
                     / 1152921504606846976.0) AS u
             FROM documents
           )
+        """,
+        "chunk_docs": """
+          WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          ), e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), 48)) AS start_tok
+            FROM t
+          )
+          SELECT doc_id,
+                 CAST(start_tok // 48 AS INTEGER) AS chunk_idx,
+                 CAST(start_tok AS INTEGER) AS start_tok,
+                 CAST(least(start_tok + 64, len(toks)) - 1 AS INTEGER)
+                   AS end_tok,
+                 CAST(least(start_tok + 64, len(toks)) - start_tok AS INTEGER)
+                   AS n_chunk_tokens,
+                 array_to_string(
+                   list_slice(toks, start_tok + 1,
+                              least(start_tok + 64, len(toks))), ' ')
+                   AS chunk_text
+          FROM e
         """,
         "corpus_report": r"""
           WITH e AS (

@@ -784,3 +784,51 @@ def boilerplate_prefixes(
         ),
         F.col("rank"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / context-window prep):
+    split each document's whitespace tokens into fixed-size chunks with
+    a fixed overlap, preserving provenance — (id, chunk_idx, start_tok,
+    end_tok, n_chunk_tokens, chunk_text).  The last chunk may be short;
+    a chunk is emitted only if it starts before the end of the doc, so
+    every token lands in at least one chunk and no empty chunks are
+    produced.
+
+    Deterministic pure-array arithmetic: chunk starts are the sequence
+    0, stride, 2*stride, ... (stride = chunk - overlap), sliced from
+    the token array and re-joined — no Python, no UDFs.
+
+    100-TB shape: map-only (explode is row-local generation — zero
+    shuffle); output size is input x (1 + overlap/stride), which the
+    caller prices by choosing the overlap.  Downstream embedding /
+    indexing stages consume the chunks with provenance intact."""
+    if chunk_tokens < 1 or not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk")
+    stride = int(chunk_tokens - overlap_tokens)
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+    )
+    end_tok = F.least(F.col("start_tok") + F.lit(int(chunk_tokens)), F.size("_toks"))
+    chunk = F.slice(F.col("_toks"), F.col("start_tok") + 1, F.lit(int(chunk_tokens)))
+    return exploded.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        "start_tok",
+        (end_tok - 1).alias("end_tok"),
+        (end_tok - F.col("start_tok")).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

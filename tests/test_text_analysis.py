@@ -562,3 +562,44 @@ def test_boilerplate_prefixes_tiebreak_and_topk(spark):
            .orderBy("rank").toPandas())
     assert list(out["prefix"]) == ["aaaa", "bbbb"]
     assert list(out["rank"]) == [1, 2]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered; consecutive chunks overlap by exactly
+    overlap_tokens; reassembling stride-prefixes reproduces the doc."""
+    from fluvio_jolt_spark.operators.text_analysis import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, words), (2, "a b c"), (3, "solo")],
+                               ["doc_id", "text"])
+    out = (chunk_documents(df, chunk_tokens=64, overlap_tokens=16)
+           .orderBy("doc_id", "chunk_idx").toPandas())
+
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["start_tok"]) == [0, 48, 96, 144]
+    assert list(d1["end_tok"]) == [63, 111, 149, 149]
+    assert list(d1["n_chunk_tokens"]) == [64, 64, 54, 6]
+    # overlap: chunk k's first 16 tokens == chunk k-1's last 16 (full chunks)
+    c0, c1 = d1.iloc[0]["chunk_text"].split(), d1.iloc[1]["chunk_text"].split()
+    assert c0[48:] == c1[:16]
+    # reassembly: the stride-prefix of every chunk concatenated in order
+    # reproduces the original token sequence
+    rebuilt = []
+    for _, r in d1.iterrows():
+        toks = r["chunk_text"].split()
+        rebuilt.extend(toks[:48])
+    assert rebuilt[:150] == words.split()
+
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["chunk_text"] == "a b c"
+    d3 = out[out["doc_id"] == 3]
+    assert len(d3) == 1 and d3.iloc[0]["n_chunk_tokens"] == 1
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from fluvio_jolt_spark.operators.text_analysis import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_tokens=8, overlap_tokens=8)
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_tokens=0, overlap_tokens=0)

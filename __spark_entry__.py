@@ -1847,6 +1847,24 @@ def _q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dup_candidates(uni, window=32, bucket_cap=64, hash_family="md5")
 
 
+def _q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection (operators.similarity.label_agreement):
+    per-vector neighborhood label-agreement over the banded-SRP
+    cosine>=0.4 candidate graph — disagreeing neighborhoods flag
+    relabel suspects. Vectors never ride the blocking shuffle."""
+    from fluvio_jolt_spark.operators.similarity import label_agreement
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return label_agreement(
+        emb,
+        n_planes=NEAR_DUP_PLANES,
+        threshold=0.4,
+        seed=ANN_SEED,
+        n_tables=NEAR_DUP_TABLES,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking for RAG / context-window prep
     (operators.text_analysis.chunk_documents, 64-token chunks, 16
@@ -1916,6 +1934,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_dups": _q_prefix_dups,
     "corpus_report": _q_corpus_report,
     "chunk_docs": _q_chunk_documents,
+    "label_agreement": _q_label_agreement,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3516,6 +3535,39 @@ def oracle_sql() -> dict[str, str]:
                     / 1152921504606846976.0) AS u
             FROM documents
           )
+        """,
+        "label_agreement": f"""
+          WITH pairs AS ({_embedding_near_dup_oracle(
+              n_planes=NEAR_DUP_PLANES,
+              threshold=0.4,
+              n_tables=NEAR_DUP_TABLES,
+              bucket_cap=LSH_BUCKET_CAP,
+          )}
+          ), e AS (
+            SELECT id_a AS id, id_b AS nb FROM pairs
+            UNION ALL
+            SELECT id_b AS id, id_a AS nb FROM pairs
+          ), l AS (
+            SELECT vec_id AS id, label FROM embeddings
+          ), a AS (
+            SELECT e.id,
+                   COUNT(*) AS n_neighbors,
+                   CAST(SUM(CASE WHEN l2.label = l1.label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM e
+            JOIN l l1 ON l1.id = e.id
+            JOIN l l2 ON l2.id = e.nb
+            GROUP BY e.id
+          )
+          SELECT l.id AS vec_id, l.label,
+                 COALESCE(a.n_neighbors, 0) AS n_neighbors,
+                 COALESCE(a.n_agree, 0) AS n_agree,
+                 round(CAST(a.n_agree AS DOUBLE) / a.n_neighbors, 6)
+                   AS agreement,
+                 COALESCE(a.n_neighbors >= 3
+                          AND CAST(a.n_agree AS DOUBLE) / a.n_neighbors < 0.5,
+                          FALSE) AS suspect
+          FROM l LEFT JOIN a ON a.id = l.id
         """,
         "chunk_docs": """
           WITH t AS (

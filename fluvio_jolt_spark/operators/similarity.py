@@ -498,3 +498,77 @@ def quantize_embeddings(
         "mean_abs_err",
         F.aggregate(dq, F.lit(0.0), lambda s, x: s + x) / F.col("n_dims").cast("double"),
     ).withColumn("max_abs_err", F.array_max(dq))
+
+
+def label_agreement(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_planes: int = 6,
+    threshold: float = 0.4,
+    seed: int = 42,
+    n_tables: int = 1,
+    bucket_cap: "int | None" = None,
+    min_neighbors: int = 3,
+) -> DataFrame:
+    """Label-noise detection by neighborhood agreement: for every
+    vector, the fraction of its cosine>=threshold neighbors (from the
+    banded-SRP candidate graph) that carry the SAME label.  A row whose
+    neighborhood disagrees (agreement < 0.5 with >= min_neighbors
+    neighbors) is a relabel/review suspect — the standard
+    confident-learning-style dataset-validation signal, here computed
+    purely from the already-blocked candidate graph instead of an
+    all-pairs kNN.
+
+    100-TB shape: inherits ``embedding_near_dup``'s blocking (vectors
+    never ride the blocking shuffle, buckets capped); on top of it only
+    (id, neighbor) edges + two narrow label joins + one hash-agg move.
+    Isolated vectors report 0 neighbors / NULL agreement / not-suspect,
+    never a false positive.
+
+    Returns (id, label, n_neighbors, n_agree, agreement, suspect)."""
+    cands = embedding_near_dup(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_planes=n_planes,
+        threshold=threshold,
+        seed=seed,
+        n_tables=n_tables,
+        bucket_cap=bucket_cap,
+    )
+    edges = cands.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionAll(cands.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb")))
+    labels = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(label_col).alias("lbl")
+    )
+    nb_labels = labels.select(
+        F.col("id").alias("nb"), F.col("lbl").alias("nb_lbl")
+    )
+    agg = (
+        edges.join(labels, "id")
+        .join(nb_labels, "nb")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum((F.col("nb_lbl") == F.col("lbl")).cast("long")).alias("n_agree"),
+        )
+    )
+    agreement = F.col("n_agree").cast("double") / F.col("n_neighbors")
+    return (
+        labels.join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("lbl").alias(label_col),
+            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+            F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+            F.round(agreement, 6).alias("agreement"),
+            F.coalesce(
+                (F.col("n_neighbors") >= int(min_neighbors))
+                & (agreement < 0.5),
+                F.lit(False),
+            ).alias("suspect"),
+        )
+    )

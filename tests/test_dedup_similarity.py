@@ -793,3 +793,32 @@ def test_prefix_dup_blocking_is_narrow(spark):
     plan = out._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_agreement_plants_noisy_label(spark):
+    """Five near-identical vectors, one mislabeled: the odd one out is
+    flagged (agreement 0 with 4 neighbors); the majority agree 3/4 and
+    are not suspects; an isolated vector reports 0 neighbors, NULL
+    agreement, not suspect."""
+    from fluvio_jolt_spark.operators.similarity import label_agreement
+
+    base = [1.0, 0.2, 0.1, 0.05]
+    rows = [(i, [x + 0.001 * i for x in base], 7) for i in range(4)]
+    rows.append((4, [x + 0.004 for x in base], 99))       # mislabeled
+    rows.append((5, [-1.0, 0.9, -0.8, 0.7], 7))           # isolated
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    out = (label_agreement(df, n_planes=4, threshold=0.9, n_tables=2,
+                           min_neighbors=3)
+           .orderBy("vec_id").toPandas())
+    noisy = out[out["vec_id"] == 4].iloc[0]
+    assert noisy["n_neighbors"] == 4 and noisy["n_agree"] == 0
+    assert noisy["agreement"] == 0.0 and bool(noisy["suspect"])
+    majority = out[out["vec_id"] < 4]
+    assert (majority["n_neighbors"] == 4).all()
+    assert (majority["n_agree"] == 3).all()
+    assert not majority["suspect"].any()
+    iso = out[out["vec_id"] == 5].iloc[0]
+    assert iso["n_neighbors"] == 0 and not bool(iso["suspect"])
+    import math
+    assert math.isnan(iso["agreement"]) or iso["agreement"] is None

@@ -1847,6 +1847,24 @@ def _q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dup_candidates(uni, window=32, bucket_cap=64, hash_family="md5")
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (operators.validation.
+    split_leakage) over the corpus plus planted content copies of every
+    25th document under fresh ids (doc_id+200000): identical content
+    drawing different split assignments is exactly the leakage a hash
+    split cannot see. Returns the offending content groups."""
+    from fluvio_jolt_spark.operators.sampling import hash_split
+    from fluvio_jolt_spark.operators.validation import split_leakage
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    uni = docs.unionByName(copies)
+    sp = hash_split(uni, SPLIT_FRACTIONS, id_col="doc_id", hash_family="md5")
+    return split_leakage(sp)
+
+
 def _q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise detection (operators.similarity.label_agreement):
     per-vector neighborhood label-agreement over the banded-SRP
@@ -1935,6 +1953,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": _q_corpus_report,
     "chunk_docs": _q_chunk_documents,
     "label_agreement": _q_label_agreement,
+    "split_leakage": _q_split_leakage,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3535,6 +3554,34 @@ def oracle_sql() -> dict[str, str]:
                     / 1152921504606846976.0) AS u
             FROM documents
           )
+        """,
+        "split_leakage": f"""
+          WITH uni AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000, text FROM documents
+            WHERE doc_id % 25 = 0
+          ), sp AS (
+            SELECT text,
+                   CASE
+                     WHEN u <= {_SPLIT_B[0][1]!r} THEN '{_SPLIT_B[0][0]}'
+                     WHEN u <= {_SPLIT_B[1][1]!r} THEN '{_SPLIT_B[1][0]}'
+                     ELSE 'test'
+                   END AS split
+            FROM (
+              SELECT text,
+                     ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT + 1)
+                      / 1152921504606846976.0) AS u
+              FROM uni
+            )
+          )
+          SELECT md5(text) AS content_hash,
+                 COUNT(*) AS n_copies,
+                 COUNT(DISTINCT split) AS n_splits,
+                 list_sort(list(DISTINCT split)) AS splits
+          FROM sp GROUP BY md5(text)
+          HAVING COUNT(DISTINCT split) >= 2
         """,
         "label_agreement": f"""
           WITH pairs AS ({_embedding_near_dup_oracle(

@@ -367,3 +367,35 @@ def ts_disorder(
             4,
         ).alias("disorder_ratio"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split contamination audit: content groups (by exact text
+    hash) whose members landed in MORE THAN ONE train/val/test split —
+    the eval-leakage failure mode that survives a correct hash split
+    whenever duplicate content carries different ids.  Run it after
+    ``sampling.hash_split`` + before training; any returned row means
+    dedup must run before (or on top of) the carve.
+
+    100-TB shape: one hash-aggregation on the content hash (text itself
+    never shuffles beyond the map-side md5), count + distinct-split
+    roll-up per group, filter n_splits >= 2 — output is only the
+    offending groups.
+
+    Returns (content_hash, n_copies, n_splits, splits)."""
+    g = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(split_col)
+    )
+    return (
+        g.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct(split_col).alias("n_splits"),
+            F.sort_array(F.collect_set(split_col)).alias("splits"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )

@@ -216,3 +216,24 @@ def test_ts_disorder_counts_backsteps(spark):
     assert out.loc[1, "disorder_ratio"] == 0.25
     assert out.loc[2, "n_backward"] == 0
     assert pd.isna(out.loc[2, "max_backstep_s"])
+
+
+def test_split_leakage_planted_and_clean(spark):
+    """Identical content under different ids draws different splits and
+    is flagged; unique content and same-split duplicate groups are not."""
+    from fluvio_jolt_spark.operators.validation import split_leakage
+
+    rows = [
+        (1, "shared content alpha", "train"),
+        (2, "shared content alpha", "val"),      # leaks train->val
+        (3, "shared content beta", "train"),
+        (4, "shared content beta", "train"),     # dup but same split: clean
+        (5, "unique content gamma", "test"),
+        (6, "shared content alpha", "test"),     # third split, same group
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "split"])
+    out = split_leakage(df).toPandas()
+    assert len(out) == 1
+    g = out.iloc[0]
+    assert g["n_copies"] == 3 and g["n_splits"] == 3
+    assert list(g["splits"]) == ["test", "train", "val"]

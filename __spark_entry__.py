@@ -1847,6 +1847,35 @@ def _q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dup_candidates(uni, window=32, bucket_cap=64, hash_family="md5")
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (operators.validation.corpus_diff)
+    between the corpus and a deterministically derived next version
+    (every 7th doc's text amended, every 11th dropped, every 13th
+    re-added under a fresh id): per-id added/removed/changed/unchanged
+    classification from one full-outer join of (id, md5) projections —
+    text never shuffles."""
+    from fluvio_jolt_spark.operators.validation import corpus_diff
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, v2)
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split contamination audit (operators.validation.
     split_leakage) over the corpus plus planted content copies of every
@@ -1942,7 +1971,7 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 99-query registry,
+# block rotates to the tail.  With a 50-row window over a 106-query registry,
 # the rotated-out block sits out one round and re-enters the window the next
 # round, so no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1954,6 +1983,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": _q_chunk_documents,
     "label_agreement": _q_label_agreement,
     "split_leakage": _q_split_leakage,
+    "corpus_diff": _q_corpus_diff,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3554,6 +3584,30 @@ def oracle_sql() -> dict[str, str]:
                     / 1152921504606846976.0) AS u
             FROM documents
           )
+        """,
+        "corpus_diff": """
+          WITH v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id + 300000, text FROM documents
+            WHERE doc_id % 13 = 0
+          ), o AS (
+            SELECT doc_id AS id, md5(text) AS old_hash FROM documents
+          ), n AS (
+            SELECT doc_id AS id, md5(text) AS new_hash FROM v2
+          )
+          SELECT COALESCE(o.id, n.id) AS doc_id,
+                 CASE
+                   WHEN o.old_hash IS NULL THEN 'added'
+                   WHEN n.new_hash IS NULL THEN 'removed'
+                   WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                   ELSE 'changed'
+                 END AS status,
+                 o.old_hash, n.new_hash
+          FROM o FULL OUTER JOIN n ON o.id = n.id
         """,
         "split_leakage": f"""
           WITH uni AS (

@@ -399,3 +399,41 @@ def split_leakage(
         )
         .filter(F.col("n_splits") >= 2)
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDC-style corpus snapshot diff: classify every document id across
+    two corpus versions as added / removed / changed / unchanged by id
+    presence + exact content hash — the ingestion-audit table a
+    re-crawled 100 TB corpus needs before re-running dedup and
+    re-carving splits (changed+added rows are the only work).
+
+    100-TB shape: each side collapses to (id, md5) map-side — text
+    never shuffles — then ONE full-outer co-partitioned join on id;
+    output is one narrow row per id in either version.
+
+    Returns (id, status, old_hash, new_hash)."""
+    o = old_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        status.alias("status"),
+        "old_hash",
+        "new_hash",
+    )

@@ -237,3 +237,26 @@ def test_split_leakage_planted_and_clean(spark):
     g = out.iloc[0]
     assert g["n_copies"] == 3 and g["n_splits"] == 3
     assert list(g["splits"]) == ["test", "train", "val"]
+
+
+def test_corpus_diff_all_statuses(spark):
+    """Added/removed/changed/unchanged all classified; hashes NULL on
+    the absent side only."""
+    from fluvio_jolt_spark.operators.validation import corpus_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"],
+    )
+    v2 = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    out = corpus_diff(v1, v2).orderBy("doc_id").toPandas()
+    assert dict(zip(out["doc_id"], out["status"])) == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added"
+    }
+    assert out[out["doc_id"] == 3]["new_hash"].isna().all()
+    assert out[out["doc_id"] == 4]["old_hash"].isna().all()
+    both = out[out["doc_id"].isin([1, 2])]
+    assert both["old_hash"].notna().all() and both["new_hash"].notna().all()

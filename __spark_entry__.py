@@ -1847,6 +1847,27 @@ def _q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dup_candidates(uni, window=32, bucket_cap=64, hash_family="md5")
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (operators.
+    similarity.hard_negatives): per anchor, the top-2 other-labeled
+    neighbors with cosine in [0.2, 0.8) from the banded-SRP candidate
+    graph — informative negatives, not label noise. Partitioned top-k
+    on the rounded cosine; vectors never ride the blocking shuffle."""
+    from fluvio_jolt_spark.operators.similarity import hard_negatives
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb,
+        sim_lo=0.2,
+        sim_hi=0.8,
+        per_anchor=2,
+        n_planes=NEAR_DUP_PLANES,
+        seed=ANN_SEED,
+        n_tables=NEAR_DUP_TABLES,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+
+
 def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff (operators.validation.corpus_diff)
     between the corpus and a deterministically derived next version
@@ -1971,7 +1992,7 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked and code-changed-this-round queries lead, last round's checked
-# block rotates to the tail.  With a 50-row window over a 106-query registry,
+# block rotates to the tail.  With a 50-row window over a 108-query registry,
 # the rotated-out block sits out one round and re-enters the window the next
 # round, so no query's most recent green row is ever more than one round old.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1984,6 +2005,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_agreement": _q_label_agreement,
     "split_leakage": _q_split_leakage,
     "corpus_diff": _q_corpus_diff,
+    "hard_negatives": _q_hard_negatives,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3584,6 +3606,40 @@ def oracle_sql() -> dict[str, str]:
                     / 1152921504606846976.0) AS u
             FROM documents
           )
+        """,
+        "hard_negatives": f"""
+          WITH pairs AS ({_embedding_near_dup_oracle(
+              n_planes=NEAR_DUP_PLANES,
+              threshold=0.2,
+              n_tables=NEAR_DUP_TABLES,
+              bucket_cap=LSH_BUCKET_CAP,
+          )}
+          ), banded AS (
+            SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim < 0.8
+          ), e AS (
+            SELECT id_a AS anchor_id, id_b AS negative_id, cos_sim
+            FROM banded
+            UNION ALL
+            SELECT id_b AS anchor_id, id_a AS negative_id, cos_sim
+            FROM banded
+          ), l AS (
+            SELECT vec_id AS id, label FROM embeddings
+          ), neg AS (
+            SELECT e.anchor_id, e.negative_id, e.cos_sim,
+                   la.label AS anchor_label, ln.label AS negative_label
+            FROM e
+            JOIN l la ON la.id = e.anchor_id
+            JOIN l ln ON ln.id = e.negative_id
+            WHERE ln.label <> la.label
+          )
+          SELECT anchor_id, negative_id, cos_sim,
+                 anchor_label, negative_label,
+                 CAST(row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY cos_sim DESC, negative_id ASC) AS INTEGER)
+                   AS neg_rank
+          FROM neg
+          QUALIFY neg_rank <= 2
         """,
         "corpus_diff": """
           WITH v2 AS (

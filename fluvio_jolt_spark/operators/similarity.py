@@ -572,3 +572,85 @@ def label_agreement(
             ).alias("suspect"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    sim_lo: float = 0.2,
+    sim_hi: float = 0.8,
+    per_anchor: int = 2,
+    n_planes: int = 6,
+    seed: int = 42,
+    n_tables: int = 1,
+    bucket_cap: "int | None" = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    vector, the top-k OTHER-labeled neighbors whose cosine falls in
+    [sim_lo, sim_hi) — similar enough to be informative, not so similar
+    they're label noise (route those through ``label_agreement``).
+    Easy negatives (random rows) teach nothing at scale; mining from
+    the ANN candidate graph is the standard retrieval/embedding
+    training recipe.
+
+    100-TB shape: inherits the banded-SRP blocking (vectors never ride
+    the blocking shuffle, buckets capped); the band filter is applied
+    on verified candidate pairs, and per-anchor top-k is a partitioned
+    row_number over the narrow (anchor, negative, cos) projection —
+    never a global sort.
+
+    Returns (anchor_id, negative_id, cos_sim, anchor_label,
+    negative_label, neg_rank)."""
+    cands = embedding_near_dup(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_planes=n_planes,
+        threshold=sim_lo,
+        seed=seed,
+        n_tables=n_tables,
+        bucket_cap=bucket_cap,
+    ).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") < sim_hi)
+    # rank on the 6dp-rounded cosine (+ id tie-break): rounding pins the
+    # ordering against last-ulp summation differences across engines
+    edges = cands.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("negative_id"),
+        "cos_sim",
+    ).unionAll(
+        cands.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+            "cos_sim",
+        )
+    )
+    labels = df.select(
+        F.col(id_col).cast("long").alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    neg_labels = df.select(
+        F.col(id_col).cast("long").alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        edges.join(labels, "anchor_id")
+        .join(neg_labels, "negative_id")
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= int(per_anchor))
+        .select(
+            "anchor_id",
+            "negative_id",
+            "cos_sim",
+            "anchor_label",
+            "negative_label",
+            "neg_rank",
+        )
+    )

@@ -822,3 +822,33 @@ def test_label_agreement_plants_noisy_label(spark):
     assert iso["n_neighbors"] == 0 and not bool(iso["suspect"])
     import math
     assert math.isnan(iso["agreement"]) or iso["agreement"] is None
+
+
+def test_hard_negatives_band_and_labels(spark):
+    """Negatives come only from OTHER labels inside the cosine band;
+    same-label near neighbors and out-of-band vectors are excluded;
+    per-anchor cap respected with deterministic ranking."""
+    from fluvio_jolt_spark.operators.similarity import hard_negatives
+
+    import math
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.0), 1),            # anchor
+        (1, unit(0.05), 1),           # same label, very close: excluded
+        (2, unit(0.9), 2),            # cos ~0.62: in band, other label
+        (3, unit(1.1), 2),            # cos ~0.45: in band, other label
+        (4, unit(1.2), 3),            # cos ~0.36: in band, other label
+        (5, [-1.0, 0.0, 0.0, 0.0], 2) # cos -1: below band
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, sim_lo=0.2, sim_hi=0.8, per_anchor=2,
+                         n_planes=3, n_tables=4).toPandas()
+    a0 = out[out["anchor_id"] == 0].sort_values("neg_rank")
+    assert list(a0["negative_id"]) == [2, 3]      # top-2 by cosine desc
+    assert (a0["negative_label"] != 1).all()
+    assert ((a0["cos_sim"] >= 0.2) & (a0["cos_sim"] < 0.8)).all()
+    assert 1 not in set(out["negative_id"][out["anchor_id"] == 0])
+    assert 5 not in set(out["negative_id"])
+    assert (out.groupby("anchor_id")["neg_rank"].max() <= 2).all()

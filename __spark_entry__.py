@@ -1847,6 +1847,18 @@ def _q_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dup_candidates(uni, window=32, bucket_cap=64, hash_family="md5")
 
 
+def _q_vocab_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-tail audit (operators.text_analysis.vocab_tail_stats):
+    per-source vocab size, hapax count and hapax ratio — the corpus-
+    health stat that flags OCR noise (high) or template text (low).
+    One (source, token) shuffle with map-side combine, then a tiny
+    roll-up."""
+    from fluvio_jolt_spark.operators.text_analysis import vocab_tail_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_tail_stats(docs)
+
+
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training (operators.
     similarity.hard_negatives): per anchor, the top-2 other-labeled
@@ -1992,7 +2004,7 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked queries lead, last round's checked block rotates to the tail.
-# With 58 never-checked r5 additions against a ~50-row window, the window
+# With 59 never-checked r5 additions against a ~50-row window, the window
 # can no longer hold every non-r4 query: priority goes to queries that have
 # NEVER had an external row (the worst state to leave one in), then to the
 # r3-checked block.  The 8 r3-green queries pushed past the window
@@ -2014,6 +2026,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": _q_split_leakage,
     "corpus_diff": _q_corpus_diff,
     "hard_negatives": _q_hard_negatives,
+    "vocab_tail": _q_vocab_tail,
     "bm25_topk": _q_bm25_topk,
     "scd2_intervals": _q_scd2_intervals,
     "embedding_clusters": _q_embedding_clusters,
@@ -3614,6 +3627,22 @@ def oracle_sql() -> dict[str, str]:
                     / 1152921504606846976.0) AS u
             FROM documents
           )
+        """,
+        "vocab_tail": """
+          WITH t AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+          ), c AS (
+            SELECT source, tok, COUNT(*) AS n FROM t GROUP BY source, tok
+          )
+          SELECT source,
+                 CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_vocab,
+                 CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+                 round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+          FROM c GROUP BY source
         """,
         "hard_negatives": f"""
           WITH pairs AS ({_embedding_near_dup_oracle(

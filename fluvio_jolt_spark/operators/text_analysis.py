@@ -832,3 +832,46 @@ def chunk_documents(
         (end_tok - F.col("start_tok")).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def vocab_tail_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary-tail audit per group: vocabulary size, hapax
+    legomena count (types occurring exactly once) and hapax ratio,
+    plus total token mass — the classic corpus-health stat: a high
+    hapax ratio signals OCR noise / mojibake / boilerplate IDs, a very
+    low one signals template or duplicated text.
+
+    100-TB shape: one shuffle keyed on (group, token) with map-side
+    partial counts (token strings cross the exchange once, already
+    combined per partition), then a per-group roll-up of the
+    already-small type table.  Same exchange shape as document
+    frequency; no windows, no Python.
+
+    Returns (group, n_tokens, n_vocab, n_hapax, hapax_ratio)."""
+    toks = F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    counts = (
+        df.select(F.col(group_col).alias("grp"), toks)
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_vocab",
+            "n_hapax",
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_vocab"), 6
+            ).alias("hapax_ratio"),
+        )
+    )

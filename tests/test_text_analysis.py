@@ -603,3 +603,21 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(None, chunk_tokens=8, overlap_tokens=8)
     with pytest.raises(ValueError):
         chunk_documents(None, chunk_tokens=0, overlap_tokens=0)
+
+
+def test_vocab_tail_stats_hand_computed(spark):
+    """tokens: a=3, b=1, c=1 in s1 -> vocab 3, hapax 2; s2 all-template
+    -> hapax 0."""
+    from fluvio_jolt_spark.operators.text_analysis import vocab_tail_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b a c", "s1"), (2, "x x", "s2"), (3, "x x", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = vocab_tail_stats(df).orderBy("source").toPandas()
+    s1 = out.iloc[0]
+    assert (s1["n_tokens"], s1["n_vocab"], s1["n_hapax"]) == (5, 3, 2)
+    assert abs(s1["hapax_ratio"] - 2 / 3) < 1e-6
+    s2 = out.iloc[1]
+    assert (s2["n_tokens"], s2["n_vocab"], s2["n_hapax"]) == (4, 1, 0)
+    assert s2["hapax_ratio"] == 0.0

@@ -2004,15 +2004,17 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked queries lead, last round's checked block rotates to the tail.
-# With 59 never-checked r5 additions against a ~50-row window, the window
+# With 48 never-checked r5 additions against a ~50-row window, the window
 # can no longer hold every non-r4 query: priority goes to queries that have
-# NEVER had an external row (the worst state to leave one in), then to the
-# r3-checked block.  The 8 r3-green queries pushed past the window
-# (positions 50-57: five jolt DSL variants, rollup_orders, anti_join,
+# NEVER had an external row (the worst state to leave one in) — all 48 are
+# in-window — then to the r3-checked block (simhash_docs, exact_dedup_docs
+# fill the remaining slots).  The 9 r3-green queries pushed past the window
+# (image_features, five jolt DSL variants, rollup_orders, anti_join,
 # backfill_backward) each have an in-window sibling exercising the same code
-# path with a fresher row (jolt_shift_props r4 + the 66 golden fixtures
-# replayed locally every round; cube_orders r4 for grouping sets; semi_join
-# r4 for the join family; backfill_last_value r4), and every query —
+# path with a fresher row (image_features_real r4 + the same decode core;
+# jolt_shift_props r4 + the 66 golden fixtures replayed locally every
+# round; cube_orders r4 for grouping sets; semi_join r4 for the join
+# family; backfill_last_value r4), and every query —
 # in-window or not — is value-checked against its oracle at sf0.001 AND
 # sf0.01 under stock+tuned sessions by tests/test_entry.py each round.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -33,6 +33,45 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _read_proc_stat() -> dict | None:
+    """Aggregate CPU jiffies from /proc/stat (Linux). Returns None when
+    unavailable (non-Linux) — callers degrade gracefully."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu" or len(parts) < 9:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    return {"total": sum(vals), "steal": vals[7], "idle": vals[3]}
+
+
+def host_health(stat_before: dict | None) -> dict:
+    """Self-describing host telemetry for the bench JSON. This sandbox is
+    a shared-host VM whose effective CPU swings ±10× between windows
+    (hypervisor steal + DRAM contention — BENCH/BASELINE.md §'box
+    noise'); recording steal% and load over the run lets a reader
+    normalize a bad-window number instead of misreading it as an engine
+    regression."""
+    out: dict = {}
+    stat_after = _read_proc_stat()
+    if stat_before and stat_after:
+        dt = stat_after["total"] - stat_before["total"]
+        if dt > 0:
+            out["cpu_steal_pct_over_run"] = round(
+                100.0 * (stat_after["steal"] - stat_before["steal"]) / dt, 2
+            )
+            out["cpu_idle_pct_over_run"] = round(
+                100.0 * (stat_after["idle"] - stat_before["idle"]) / dt, 2
+            )
+    try:
+        out["loadavg_1_5_15"] = list(os.getloadavg())
+    except OSError:
+        pass
+    return out
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     name = Path(sf_dir).name
     try:
@@ -289,6 +328,7 @@ def jolt_kernel_us_per_rec(n: int = 30_000) -> float:
 
 
 def main() -> None:
+    stat_before = _read_proc_stat()
     from fluvio_jolt_spark.plans.session import build_session
     from fluvio_jolt_spark.sources.transcripts import materialize, sf_to_n_turns
 
@@ -356,6 +396,8 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         result["scaling"] = scaling_runs(n_turns)
+
+    result["host_health"] = host_health(stat_before)
 
     print(json.dumps(result))
 

@@ -356,17 +356,17 @@ def main() -> None:
             spark, turns.limit(max(n_turns // 10, 1000)), snaps, tmp + "/warm",
             roles=roles, max_conv=max_conv,
         )
-        # median of 3 timed runs: this box drifts ±50% run-to-run
+        # median of 5 timed runs: this box drifts ±50% run-to-run
         # (BENCH/BASELINE.md), so a single snapshot tracks host noise,
         # not the engine — the r1→r2 "regression" was exactly that.
         runs = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             run_flagship_frames(
                 spark, turns, snaps, f"{tmp}/out{i}", roles=roles, max_conv=max_conv
             )
             runs.append(time.perf_counter() - t0)
-        flagship_sec = sorted(runs)[1]
+        flagship_sec = sorted(runs)[len(runs) // 2]
 
     queries = bench_queries(spark, SF_DIR)
     queries_xxhash = bench_lsh_production_lane(spark, SF_DIR)
@@ -381,10 +381,21 @@ def main() -> None:
         "flagship_runs_sec": [round(s, 3) for s in runs],
         "turns_per_sec": round(n_turns / flagship_sec, 1),
         "jolt_kernel_us_per_rec": round(jolt_kernel_us_per_rec(), 2),
+        # Window normalization, reported beside (never instead of) the raw
+        # number: the single-thread jolt kernel canary measures 14.6-15.8
+        # µs/rec on this box when healthy (BENCH/BASELINE.md); when the
+        # shared host degrades (hypervisor CPU steal / DRAM contention,
+        # see host_health) the canary inflates proportionally with no code
+        # or plan change. The adjusted figure scales throughput UP by
+        # measured-canary/healthy-ref only when the canary reads degraded
+        # — a healthy window is never inflated.
+        "canary_healthy_us_ref": 15.0,
         "per_query_runs": 3,
         "queries": queries,
         "queries_xxhash_lane": queries_xxhash,
     }
+    factor = max(1.0, result["jolt_kernel_us_per_rec"] / result["canary_healthy_us_ref"])
+    result["turns_per_sec_canary_adjusted"] = round(result["turns_per_sec"] * factor, 1)
 
     # The at-scale lane: zero-exchange job over co-bucketed tables (what
     # run_features --layout=auto selects above its threshold; the

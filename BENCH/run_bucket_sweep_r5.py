@@ -130,6 +130,7 @@ def main(bucket_counts: list[int]) -> None:
         _prep_tables(nb)
     for nb in bucket_counts:
         t0 = time.time()
+        stat_before = bench._read_proc_stat()
         times: dict[int, list[float]] = {2: [], 8: []}
         for _ in range(3):
             for cores in (2, 8):
@@ -146,6 +147,7 @@ def main(bucket_counts: list[int]) -> None:
                          "turns_per_sec": round(N_TURNS / med[8], 1)},
             "scaling_efficiency_2_to_8": round(med[2] / (4 * med[8]), 3),
             "membw_ceiling": bench._membw_ceiling([2, 8]),
+            "host_health": bench.host_health(stat_before),
             "elapsed_s": round(time.time() - t0, 1),
         }
         with OUT_JSONL.open("a") as f:

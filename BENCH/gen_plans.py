@@ -93,5 +93,44 @@ for name, why in PICKS:
     plan, simple = fmt(qs[name](spark, SF))
     out.append(f"## {name} — {why}\n\n**Audit:** {audit(plan, simple)}\n\n```\n{trim(plan)}\n```\n")
 spark.stop()
+
+# --- bucketed zero-exchange flagship (the at-scale lane) -------------
+# Own session: the in-memory catalog + warehouse dir are per-session.
+import tempfile
+from fluvio_jolt_spark.operators.asof import asof_join_bucketed
+from fluvio_jolt_spark.operators.reshape import jolt_reshape, reference_bench_spec
+from fluvio_jolt_spark.operators.window_features import with_turn_features
+from fluvio_jolt_spark.sources.tables import BucketedTableSource
+from fluvio_jolt_spark.sources.transcripts import read_transcripts
+
+with tempfile.TemporaryDirectory() as wh:
+    spark = build_session(app_name='fjs-plans-bkt', master='local[4]',
+                          shuffle_partitions=8,
+                          extra_conf={"spark.sql.warehouse.dir": wh})
+    turns, snaps = read_transcripts(spark, n_turns=6000)
+    src = BucketedTableSource(n_buckets=4, bucket_col="conv_id")
+    src.write(turns, "fjs_plan_turns")
+    src.write(snaps, "fjs_plan_snaps")
+    bt = src.read(spark, "fjs_plan_turns")
+    bs = src.read(spark, "fjs_plan_snaps")
+    feats = with_turn_features(
+        bt.select("conv_id", "turn_idx", "role", "tool", "ts"),
+        session_gap_s=1800)
+    feats = asof_join_bucketed(feats, bs, on="ts", right_on="snap_ts",
+                               by="conv_id", key_cols=("turn_idx",))
+    joined = feats.join(bt.select("conv_id", "turn_idx", "text"),
+                        ["conv_id", "turn_idx"])
+    dfb = jolt_reshape(joined, reference_bench_spec(), columns="text")
+    plan, simple = fmt(dfb)
+    a = audit(plan, simple)
+    assert a.startswith("0 Exchange"), f"bucketed lane grew a shuffle: {a}"
+    out.append("## flagship, co-bucketed zero-exchange lane "
+               "(`run_features --layout=bucketed`) — the at-scale path\n\n"
+               f"**Audit:** {a}\n\nEvery join and window runs inside the "
+               "bucket-preserved partitioning of the ingest-time bucketed "
+               "tables: the whole pipeline is shuffle-free (the generator "
+               "asserts the 0-Exchange audit above at build time).\n\n"
+               f"```\n{trim(plan)}\n```\n")
+    spark.stop()
 open(REPO / 'PLANS.md','w').write("\n".join(out))
 print("wrote PLANS.md", sum(len(s) for s in out), "chars")

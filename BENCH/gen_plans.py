@@ -70,7 +70,7 @@ test row counts. The
 quick-audit line above each plan counts the scale-relevant nodes; the
 full text below it is verbatim Spark output. The automated version of
 this audit — no CartesianProduct, no BroadcastNestedLoopJoin, no
-global (partition-less) window in ANY of the 109 registered queries —
+global (partition-less) window in ANY of the registered queries —
 runs as `tests/test_plan_hygiene.py` every round. The zero-exchange
 co-bucketed lane (the at-scale flagship path) is plan-verified
 separately: `tests/test_sources.py::test_bucketed_join_no_exchange`

@@ -232,6 +232,52 @@ def _q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of: each event picks the EARLIEST signup
+    snapshot at-or-after it (pandas merge_asof direction='forward') —
+    the "next scheduled change" lookup. Same union-window plan as the
+    backward join (one shuffle, no join node), with the fill window
+    flipped to [currentRow, unboundedFollowing]. Oracle: DuckDB ASOF
+    LEFT JOIN with the inequality reversed (l.ts <= r.ts)."""
+    from fluvio_jolt_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("signup_value")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left, signups, on="ts", right_on="snap_ts", by="user_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("signup_value").alias("signup_value_next")
+    )
+
+
+def _q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each event picks whichever signup
+    snapshot (earlier or later) is closer in time, ties to the earlier
+    one — pandas merge_asof direction='nearest'. Both directions fill
+    over ONE shuffle on the entity key (two window sorts, no join
+    node). Oracle: two DuckDB ASOF joins (backward + forward) and a
+    closeness CASE with the same tie rule."""
+    from fluvio_jolt_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("signup_value")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left, signups, on="ts", right_on="snap_ts", by="user_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("signup_value").alias("signup_value_nearest")
+    )
+
+
 def _q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as asof_join_signup via the applyInPandas merge_asof variant.
 
@@ -2004,7 +2050,7 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked queries lead, last round's checked block rotates to the tail.
-# With 48 never-checked r5 additions against a ~50-row window, the window
+# With 50 never-checked r5 additions against a ~50-row window, the window
 # can no longer hold every non-r4 query: priority goes to queries that have
 # NEVER had an external row (the worst state to leave one in) — all 48 are
 # in-window — then to the r3-checked block (simhash_docs, exact_dedup_docs
@@ -2019,6 +2065,8 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01 under stock+tuned sessions by tests/test_entry.py each round.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
+    "asof_join_forward": _q_asof_join_forward,
+    "asof_join_nearest": _q_asof_join_nearest,
     "split_assign": _q_split_assign,
     "boilerplate_prefix": _q_boilerplate_prefix,
     "prefix_dups": _q_prefix_dups,
@@ -2974,6 +3022,32 @@ def oracle_sql() -> dict[str, str]:
                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                       0) AS BIGINT) AS distinct_seen
           FROM f
+        """,
+        "asof_join_forward": """
+          SELECT e.event_id, e.user_id, s.signup_value AS signup_value_next
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) s ON e.user_id = s.user_id AND e.ts <= s.ts
+        """,
+        "asof_join_nearest": """
+          SELECT e.event_id, e.user_id,
+                 CASE WHEN b.ts IS NOT NULL
+                           AND (f.ts IS NULL
+                                OR epoch_us(e.ts) - epoch_us(b.ts)
+                                   <= epoch_us(f.ts) - epoch_us(e.ts))
+                      THEN b.signup_value
+                      ELSE f.signup_value END AS signup_value_nearest
+          FROM events e
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) b ON e.user_id = b.user_id AND e.ts >= b.ts
+          ASOF LEFT JOIN (
+            SELECT user_id, ts, value AS signup_value
+            FROM events WHERE event_type = 'signup'
+          ) f ON e.user_id = f.user_id AND e.ts <= f.ts
         """,
         "asof_join_signup_pandas": """
           WITH ev AS (

@@ -32,29 +32,56 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = False,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right values with
-    ``right_on <= on`` (or ``<`` when strict) within the same ``by`` keys.
+    """For each left row, attach right values matched as-of within the
+    same ``by`` keys, in the chosen ``direction`` (pandas ``merge_asof``
+    semantics):
+
+    - ``backward`` (default): latest right with ``right_on <= on``
+      (``<`` when strict);
+    - ``forward``: earliest right with ``right_on >= on`` (``>`` when
+      strict);
+    - ``nearest``: whichever of the two is closer in time; ties prefer
+      the backward (earlier) match, like pandas.
 
     Plan shape: union → one shuffle on (by) → window sort on
     (event time, side priority) → filter left rows. No join node at all,
     so there is no row-multiplication risk and no broadcast-size limit.
+    ``nearest`` fills both directions over the SAME partitioning — one
+    exchange, two sorts (see ``_asof_join_nearest``).
 
     ``tolerance_s`` bounds match staleness (the feature-store TTL
-    semantic): a match older than ``on - tolerance_s`` is discarded and
-    the values come back NULL, exactly as if no snapshot existed — a
-    stale profile must not silently serve as a point-in-time feature.
+    semantic): a match farther than ``tolerance_s`` from ``on`` (older
+    for backward, later for forward, either for nearest) is discarded
+    and the values come back NULL, exactly as if no snapshot existed —
+    a stale profile must not silently serve as a point-in-time feature.
     Staleness is judged against the matched snapshot's own timestamp,
     carried through the same fill window (adds no exchange, no join).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, on=on, right_on=right_on, by=by,
+            value_cols=value_cols, strict=strict, tolerance_s=tolerance_s,
+        )
     left = ensure_ltz(left, on)
     right = ensure_ltz(right, right_on)
     by_cols = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in by_cols + [right_on]]
 
-    # Side priority at equal timestamps: right first for <=, left first for <.
-    right_prio = 0 if not strict else 2
+    # Side priority at equal timestamps. Backward fills from
+    # [unboundedPreceding, currentRow], so an equal-ts right row is
+    # visible iff it sorts BEFORE the left row (prio 0) and hidden iff
+    # after (prio 2). Forward fills from [currentRow,
+    # unboundedFollowing] — the inclusion test flips: visible iff the
+    # right row sorts AFTER the left row.
+    if direction == "backward":
+        right_prio = 0 if not strict else 2
+    else:
+        right_prio = 2 if not strict else 0
     left_prio = 1
 
     l_tag = left.withColumn("_evt_ts", F.col(on)).withColumn("_prio", F.lit(left_prio))
@@ -78,30 +105,146 @@ def asof_join(
     unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
     # Final tiebreaker: duplicate right rows at identical (by, snap_ts)
-    # would otherwise leave last() nondeterministic — order by the value
-    # columns themselves so the pick is stable across runs/partitionings
-    # (the max value at the tied timestamp wins).
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy("_evt_ts", "_prio", *value_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # would otherwise leave last()/first() nondeterministic — order by
+    # the value columns themselves so the pick is stable across
+    # runs/partitionings (backward: the max value at the tied timestamp
+    # wins; forward: the min).
+    w = Window.partitionBy(*by_cols).orderBy("_evt_ts", "_prio", *value_cols)
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     for c in fill_cols:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        unioned = unioned.withColumn(c, fill(c).over(w))
 
     out = unioned.filter(F.col("_prio") == left_prio).drop("_evt_ts", "_prio")
     if tolerance_s is not None:
+        if direction == "backward":
+            staleness = F.unix_micros(F.col(on)) - F.unix_micros(F.col("_src_ts"))
+        else:
+            staleness = F.unix_micros(F.col("_src_ts")) - F.unix_micros(F.col(on))
         fresh = (
             F.col("_src_ts").isNotNull()
-            & (
-                F.unix_micros(F.col(on)) - F.unix_micros(F.col("_src_ts"))
-                <= F.lit(int(round(tolerance_s * 1_000_000)))
-            )
+            & (staleness <= F.lit(int(round(tolerance_s * 1_000_000))))
         )
         for c in value_cols:
             out = out.withColumn(c, F.when(fresh, F.col(c)))
         out = out.drop("_src_ts")
     return out
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str,
+    by: str | list[str],
+    value_cols: list[str] | None,
+    strict: bool,
+    tolerance_s: float | None,
+) -> DataFrame:
+    """Nearest-direction as-of: fill BOTH directions over the same
+    union and per-``by`` partitioning, then pick per left row whichever
+    matched snapshot is closer to ``on`` (ties → backward, like pandas
+    ``merge_asof(direction="nearest")``). One exchange (both window
+    specs share the partition keys), two sorts (the side-priority
+    ordering differs between directions when ``strict`` flips equal-ts
+    visibility).
+    """
+    left = ensure_ltz(left, on)
+    right = ensure_ltz(right, right_on)
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in by_cols + [right_on]]
+
+    # Equal-ts visibility per direction (see asof_join): backward sees
+    # prio-0 rights, forward sees prio-2 rights.
+    b_right_prio = 0 if not strict else 2
+    f_right_prio = 2 if not strict else 0
+    left_prio = 1
+
+    def _b(c: str) -> str:
+        return f"__b_{c}"
+
+    def _f(c: str) -> str:
+        return f"__f_{c}"
+
+    l_tag = (
+        left.withColumn("_evt_ts", F.col(on))
+        .withColumn("_prio_b", F.lit(left_prio))
+        .withColumn("_prio_f", F.lit(left_prio))
+    )
+    for c in value_cols:
+        dt = right.schema[c].dataType
+        l_tag = l_tag.withColumn(_b(c), F.lit(None).cast(dt))
+        l_tag = l_tag.withColumn(_f(c), F.lit(None).cast(dt))
+    l_tag = l_tag.withColumn(_b("_src"), F.lit(None).cast("timestamp"))
+    l_tag = l_tag.withColumn(_f("_src"), F.lit(None).cast("timestamp"))
+
+    r_tag = (
+        right.withColumn("_evt_ts", F.col(right_on))
+        .withColumn("_prio_b", F.lit(b_right_prio))
+        .withColumn("_prio_f", F.lit(f_right_prio))
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in value_cols:
+        r_tag = r_tag.withColumn(_b(c), F.col(c))
+        r_tag = r_tag.withColumn(_f(c), F.col(c))
+    r_tag = r_tag.withColumn(_b("_src"), F.col(right_on))
+    r_tag = r_tag.withColumn(_f("_src"), F.col(right_on))
+
+    b_fill = [_b(c) for c in value_cols] + [_b("_src")]
+    f_fill = [_f(c) for c in value_cols] + [_f("_src")]
+    cols = (
+        by_cols + ["_evt_ts", "_prio_b", "_prio_f"]
+        + [c for c in left.columns if c not in by_cols]
+        + b_fill + f_fill
+    )
+    unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
+
+    # Tiebreak duplicate right rows at identical (by, snap_ts) by the
+    # direction-local value copies (the original value columns are not
+    # in the union projection). Right-row sort keys are never mutated
+    # by the in-place fills (a right row's own value is the last/first
+    # non-null at its own position), so the ordering stays consistent
+    # across the per-column fill steps.
+    wb = (
+        Window.partitionBy(*by_cols)
+        .orderBy("_evt_ts", "_prio_b", *[_b(c) for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by_cols)
+        .orderBy("_evt_ts", "_prio_f", *[_f(c) for c in value_cols])
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    for c in b_fill:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+    for c in f_fill:
+        unioned = unioned.withColumn(c, F.first(c, ignorenulls=True).over(wf))
+
+    out = unioned.filter(F.col("_prio_b") == left_prio)
+
+    db = F.unix_micros(F.col(on)) - F.unix_micros(F.col(_b("_src")))
+    df_ = F.unix_micros(F.col(_f("_src"))) - F.unix_micros(F.col(on))
+    valid_b = F.col(_b("_src")).isNotNull()
+    valid_f = F.col(_f("_src")).isNotNull()
+    if tolerance_s is not None:
+        tol = F.lit(int(round(tolerance_s * 1_000_000)))
+        valid_b = valid_b & (db <= tol)
+        valid_f = valid_f & (df_ <= tol)
+    pick_b = valid_b & (~valid_f | (db <= df_))
+    pick_f = ~pick_b & valid_f
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.when(pick_b, F.col(_b(c))).when(pick_f, F.col(_f(c)))
+        )
+    drop = ["_evt_ts", "_prio_b", "_prio_f"] + b_fill + f_fill
+    return out.drop(*drop)
 
 
 def asof_join_salted(

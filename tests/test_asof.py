@@ -421,6 +421,122 @@ def test_asof_tolerance_staleness_bound(spark):
     assert base[2] == 10.0
 
 
+# ------------------------------------------- direction=forward/nearest
+
+
+def _direction_oracle(lpdf, rpdf, direction, allow_exact=True, tol=None):
+    """pandas merge_asof per group; right side pre-sorted by
+    (snap_ts, value) so pandas' duplicate-ts pick (last for backward,
+    first for forward) matches the engine's deterministic tiebreak
+    (max for backward, min for forward)."""
+    frames = []
+    for conv, lg in lpdf.groupby("conv_id", sort=False):
+        rg = rpdf[rpdf.conv_id == conv].sort_values(
+            ["snap_ts", "attr_value"], kind="mergesort"
+        )
+        lg = lg.sort_values("ts", kind="mergesort")
+        if rg.empty:
+            m = lg.copy()
+            m["attr_value"] = pd.NA
+        else:
+            kw = dict(
+                left_on="ts", right_on="snap_ts", direction=direction,
+                allow_exact_matches=allow_exact,
+            )
+            if tol is not None:
+                kw["tolerance"] = pd.Timedelta(seconds=tol)
+            m = pd.merge_asof(
+                lg, rg[["snap_ts", "attr_value"]], **kw
+            ).drop(columns=["snap_ts"])
+        frames.append(m)
+    return (
+        pd.concat(frames)
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def direction_frames(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 120
+    lp = pd.DataFrame(
+        {
+            "conv_id": rng.choice(["a", "b", "c", "d"], n_l),
+            "turn_idx": np.arange(n_l),
+            "ts": pd.to_datetime(rng.integers(0, 1000, n_l), unit="s", utc=True),
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "conv_id": rng.choice(["a", "b", "c", "e"], n_r),
+            "snap_ts": pd.to_datetime(rng.integers(0, 1000, n_r), unit="s", utc=True),
+            "attr_value": rng.integers(0, 50, n_r).astype("int64"),
+        }
+    )
+    # force an exact left-ts == right-ts tie so strictness is exercised
+    rp.loc[0, ["conv_id", "snap_ts"]] = ["a", lp.ts.iloc[0]]
+    return lp, rp, spark.createDataFrame(lp), spark.createDataFrame(rp)
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("tol", [None, 100.0])
+def test_asof_direction_matches_pandas(direction_frames, direction, strict, tol):
+    lp, rp, l, r = direction_frames
+    got = (
+        asof_join(l, r, strict=strict, tolerance_s=tol, direction=direction)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = _direction_oracle(lp, rp, direction, allow_exact=not strict, tol=tol)
+    g = got["attr_value"].astype("Float64")
+    w = want["attr_value"].astype("Float64")
+    assert len(g) == len(w) == len(lp)
+    assert ((g.isna() & w.isna()) | (g == w)).all()
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Equidistant earlier/later snapshots: the earlier one wins (pandas
+    nearest semantics)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": pd.to_datetime(["2024-01-01 00:00:10"]),
+                      "i": [0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["a", "a"],
+            "snap_ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:15"]),
+            "v": [1.0, 2.0],
+        })
+    )
+    out = asof_join(left, right, on="ts", right_on="snap_ts", by="k",
+                    direction="nearest").toPandas()
+    assert out["v"].iloc[0] == 1.0
+
+
+def test_asof_direction_plan_single_shuffle(spark, transcripts_small):
+    """forward keeps the backward plan shape (no join node, one
+    exchange); nearest pays ONE exchange and two window sorts."""
+    left, right = transcripts_small
+    for direction, max_sorts in (("forward", 1), ("nearest", 2)):
+        out = asof_join(left, right, on="ts", right_on="snap_ts",
+                        by="conv_id", direction=direction)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan.replace("Joined", ""), direction
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, f"{direction}: {n_ex} exchanges"
+
+
+def test_asof_invalid_direction_raises(spark, transcripts_small):
+    left, right = transcripts_small
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, direction="sideways")
+
+
 # ------------------------------------------------------- scd2_intervals
 
 

@@ -57,9 +57,23 @@ class JoltObject:
     time and two distinct literals can't match the same input key, so a
     hash probe is observationally identical to the reference's ordered
     scan. A pipes entry mixing globs and literals keeps the ordered scan
-    (an earlier glob alternative must win and supply its captures)."""
+    (an earlier glob alternative must win and supply its captures).
 
-    __slots__ = ("infallible", "literal", "amp", "pipes", "literal_map")
+    ``exact_map`` / ``pipes_rest`` extend the same acceleration across
+    buckets: when the ``&`` bucket is empty (its probes sit between
+    literal and pipes in the reference's order and depend on runtime
+    captures, so they can't merge), the literal map plus every
+    all-literal pipes group BEFORE the first glob group collapse into
+    one dict — probe order is preserved because an earlier entry wins
+    via setdefault, and a key that would first match a glob group is
+    never in the map (groups from the first glob onward stay in
+    ``pipes_rest`` and keep the ordered scan). All merged matches push
+    the same single-capture frame ``[k]`` the per-bucket probes would."""
+
+    __slots__ = (
+        "infallible", "literal", "amp", "pipes", "literal_map",
+        "exact_map", "pipes_rest",
+    )
 
     def __init__(self):
         # list[(lhs, list[Rhs])] — $ / @ / # entries, spec order.
@@ -71,9 +85,26 @@ class JoltObject:
         # list[(list[Stars], rentry, exact_set|None)]
         self.pipes: list[tuple[list[Stars], "REntry", frozenset | None]] = []
         self.literal_map: dict[str, "REntry"] = {}
+        self.exact_map: dict[str, "REntry"] | None = None
+        self.pipes_rest: list[tuple[list[Stars], "REntry", frozenset | None]] = []
 
     def finish(self) -> "JoltObject":
         self.literal_map = dict(self.literal)
+        if self.amp:
+            self.exact_map = None
+            self.pipes_rest = self.pipes
+            return self
+        exact_map = dict(self.literal_map)
+        rest: list = []
+        for grp in self.pipes:
+            _stars, rentry, exact = grp
+            if not rest and exact is not None:
+                for k in exact:
+                    exact_map.setdefault(k, rentry)
+            else:
+                rest.append(grp)
+        self.exact_map = exact_map
+        self.pipes_rest = rest
         return self
 
 
@@ -163,25 +194,35 @@ class ShiftOp:
 class DefaultOp:
     """Spec kept raw (spec.rs:220-221) plus leaves precompiled to
     normalized pointer-token lists — the walk is per-spec work, not
-    per-record work."""
+    per-record work.
 
-    __slots__ = ("spec", "leaves")
+    ``top`` splits out the single-token leaves: on a dict root they
+    reduce to one containment probe + insert, skipping the generic
+    pointer walk. A top-level key is never also a prefix of a deeper
+    leaf (one JSON key → one subtree), so applying the two groups in
+    either order is observationally identical to spec order."""
+
+    __slots__ = ("spec", "leaves", "top", "deep")
 
     def __init__(self, spec: Any):
         from .pointer import compile_leaf_paths
 
         self.spec = spec
         self.leaves = compile_leaf_paths(spec)
+        self.top = [(t[0], leaf) for t, leaf in self.leaves if len(t) == 1]
+        self.deep = [(t, leaf) for t, leaf in self.leaves if len(t) != 1]
 
 
 class RemoveOp:
-    __slots__ = ("spec", "leaves")
+    __slots__ = ("spec", "leaves", "top", "deep")
 
     def __init__(self, spec: Any):
         from .pointer import compile_leaf_paths
 
         self.spec = spec
         self.leaves = compile_leaf_paths(spec)
+        self.top = [t[0] for t, _leaf in self.leaves if len(t) == 1]
+        self.deep = [(t, leaf) for t, leaf in self.leaves if len(t) != 1]
 
 
 SpecEntry = Union[ShiftOp, DefaultOp, RemoveOp]

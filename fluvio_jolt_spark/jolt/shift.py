@@ -92,6 +92,32 @@ def _apply(obj: JoltObject, path: list[Frame], out_box: list[Any]) -> None:
 
     node = tip[1]
     if isinstance(node, dict):
+        # Fast path (semantics-preserving, see JoltObject docstring):
+        # fully-exact spec objects dispatch each input key with ONE dict
+        # probe and no per-key helper call. rentry values are never None,
+        # so .get(k) returning None means "no rule fires".
+        em = obj.exact_map
+        if em is not None and not obj.pipes_rest:
+            for k, v in node.items():
+                rentry = em.get(k)
+                if rentry is None:
+                    continue
+                path.append(([k], v))
+                # _apply_match body inlined (leaf writes dominate)
+                cls = rentry.__class__
+                if cls is list:
+                    needs_clone = v.__class__ is dict or v.__class__ is list
+                    for rhs in rentry:
+                        vv = _clone(v) if needs_clone else v
+                        w = rhs.writer
+                        if w is not None:
+                            w(vv, path, out_box)
+                        else:
+                            _insert_val_to_rhs(rhs, vv, path, out_box)
+                elif cls is JoltObject:
+                    _apply(rentry, path, out_box)
+                path.pop()
+            return
         for k, v in node.items():
             _match_obj_and_key(obj, path, k, v, out_box)
     elif isinstance(node, bool):
@@ -113,55 +139,72 @@ def _match_obj_and_key(
     """Probe the fallible buckets for one input key; first match wins and
     exactly one rule fires per key (shift.rs:105-144). Literal and
     all-literal-pipes probes use compiled hash lookups (see
-    JoltObject docstring for why that preserves reference semantics)."""
-    rentry = obj.literal_map.get(k, _MISSING)
-    if rentry is not _MISSING:
-        path.append(([k], v))
-        try:
+    JoltObject docstring for why that preserves reference semantics).
+    No try/finally around the recursion: an exception aborts the whole
+    record (reshape dead-letters it) and ``path``/``out_box`` are
+    per-record state, so the unwound stack is never observed."""
+    em = obj.exact_map
+    if em is not None:
+        # & bucket empty: literal + leading exact pipes groups merged.
+        rentry = em.get(k)
+        if rentry is not None:
+            path.append(([k], v))
             _apply_match(v, rentry, path, out_box)
-        finally:
             path.pop()
-        return
-
-    for (p_idx, m_idx), rentry in obj.amp:
-        m = _get_match(p_idx, m_idx, path)
-        if m == k:
-            path.append(([m], v))
-            try:
-                _apply_match(v, rentry, path, out_box)
-            finally:
-                path.pop()
+            return
+        pipes = obj.pipes_rest
+    else:
+        rentry = obj.literal_map.get(k, _MISSING)
+        if rentry is not _MISSING:
+            path.append(([k], v))
+            _apply_match(v, rentry, path, out_box)
+            path.pop()
             return
 
-    for alternatives, rentry, exact in obj.pipes:
+        for (p_idx, m_idx), rentry in obj.amp:
+            m = _get_match(p_idx, m_idx, path)
+            if m == k:
+                path.append(([m], v))
+                _apply_match(v, rentry, path, out_box)
+                path.pop()
+                return
+        pipes = obj.pipes
+
+    for alternatives, rentry, exact in pipes:
         if exact is not None:
             if k in exact:
                 path.append(([k], v))
-                try:
-                    _apply_match(v, rentry, path, out_box)
-                finally:
-                    path.pop()
+                _apply_match(v, rentry, path, out_box)
+                path.pop()
                 return
             continue
         for stars in alternatives:
             m = _match_stars(stars.segments, k)
             if m is not None:
                 path.append((m, v))
-                try:
-                    _apply_match(v, rentry, path, out_box)
-                finally:
-                    path.pop()
+                _apply_match(v, rentry, path, out_box)
+                path.pop()
                 return
 
 
 def _apply_match(v: Any, rentry, path: list[Frame], out_box: list[Any]) -> None:
-    if isinstance(rentry, JoltObject):
-        _apply(rentry, path, out_box)
-    elif isinstance(rentry, Thrash):
-        return
-    else:  # list[Rhs]
+    # Dispatch ordered by hot-path frequency (leaf writes dominate);
+    # exact-class checks are safe — REntry is list | JoltObject | Thrash,
+    # never a subclass. Scalars skip the clone: only containers need a
+    # copy to keep output slots independent (shift.rs:55,156).
+    cls = rentry.__class__
+    if cls is list:
+        needs_clone = v.__class__ is dict or v.__class__ is list
         for rhs in rentry:
-            write_rhs(rhs, _clone(v), path, out_box)
+            vv = _clone(v) if needs_clone else v
+            w = rhs.writer
+            if w is not None:
+                w(vv, path, out_box)
+            else:
+                _insert_val_to_rhs(rhs, vv, path, out_box)
+    elif cls is JoltObject:
+        _apply(rentry, path, out_box)
+    # else Thrash: match and discard
 
 
 def _clone(v: Any) -> Any:
@@ -375,13 +418,55 @@ def compile_rhs_writer(rhs: Rhs):
 
         return static_writer
 
+    if len(steps) == 2 and steps[0][0] == "s" and steps[1][0] == "a":
+        # `literal.&N` — the most common dynamic RHS shape (e.g. the
+        # reference bench spec's `personal_details.&0`). Unrolled
+        # two-level write, amp lookup inlined; byte-identical to the
+        # generic interpreter on every collision/overwrite case.
+        k0 = steps[0][1]
+        p_idx, m_idx = steps[1][1]
+
+        def static_amp_writer(v, path, out_box, _k0=k0, _p=p_idx, _m=m_idx):
+            if _p >= len(path):
+                raise PathIndexOutOfRange(_p, len(path))
+            captures = path[-1 - _p][0]
+            if _m >= len(captures):
+                raise MatchIndexOutOfRange(_m, len(captures))
+            key = captures[_m]
+
+            cur = out_box[0]
+            if type(cur) is dict:
+                d0 = cur
+            else:
+                d0 = {}
+                out_box[0] = d0
+            mid = d0.get(_k0)
+            if type(mid) is not dict:
+                mid = {}
+                d0[_k0] = mid
+            cur = mid.get(key, _MISSING)
+            if cur is None or cur is _MISSING:
+                mid[key] = v
+            elif type(cur) is list:
+                cur.append(v)
+            else:
+                mid[key] = [cur, v]
+
+        return static_amp_writer
+
     def keyed_writer(v, path, out_box, _steps=tuple(steps)):
         cont, slot = out_box, 0
         for kind, arg in _steps:
             if kind == "s":
                 key = arg
             elif kind == "a":
-                key = _get_match(arg[0], arg[1], path)
+                p_idx, m_idx = arg
+                if p_idx >= len(path):
+                    raise PathIndexOutOfRange(p_idx, len(path))
+                captures = path[-1 - p_idx][0]
+                if m_idx >= len(captures):
+                    raise MatchIndexOutOfRange(m_idx, len(captures))
+                key = captures[m_idx]
             elif kind == "e":
                 key = _entry_to_str(arg, path)
             else:  # "c"

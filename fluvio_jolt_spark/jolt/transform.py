@@ -24,16 +24,38 @@ from .shift import _clone, apply_shift
 
 def apply_default(value: Any, spec: Any) -> Any:
     """Insert spec leaves at absent paths; present values (incl. null) win."""
-    leaves = spec.leaves if isinstance(spec, DefaultOp) else compile_leaf_paths(spec)
-    for tokens, leaf in leaves:
+    if isinstance(spec, DefaultOp):
+        # single-token leaves on a dict root: one containment probe each
+        # (on a non-dict root both exists() and insert() no-op, same as
+        # skipping). Scalar leaves need no defensive clone.
+        if isinstance(value, dict):
+            for k, leaf in spec.top:
+                if k not in value:
+                    cls = leaf.__class__
+                    value[k] = _clone(leaf) if (cls is dict or cls is list) else leaf
+        for tokens, leaf in spec.deep:
+            if not tokens_exists(value, tokens):
+                tokens_insert(value, tokens, _clone(leaf))
+        return value
+    for tokens, leaf in compile_leaf_paths(spec):
         if not tokens_exists(value, tokens):
             tokens_insert(value, tokens, _clone(leaf))
     return value
 
 
 def apply_remove(value: Any, spec: Any) -> Any:
-    leaves = spec.leaves if isinstance(spec, RemoveOp) else compile_leaf_paths(spec)
-    for tokens, _leaf in leaves:
+    if isinstance(spec, RemoveOp):
+        # single-token leaves: exists+delete collapse to one guarded pop
+        # (tokens_delete only acts when the parent — here the root — is
+        # a dict, so the non-dict root no-op is preserved).
+        if isinstance(value, dict):
+            for k in spec.top:
+                value.pop(k, None)
+        for tokens, _leaf in spec.deep:
+            if tokens_exists(value, tokens):
+                tokens_delete(value, tokens)
+        return value
+    for tokens, _leaf in compile_leaf_paths(spec):
         if tokens_exists(value, tokens):
             tokens_delete(value, tokens)
     return value

@@ -2050,14 +2050,18 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy (round-robin, not permanent exemption): queries are ordered by the
 # round of their most recent external gate row, least-recent FIRST — never-
 # checked queries lead, last round's checked block rotates to the tail.
-# With 50 never-checked r5 additions against a ~50-row window, the window
-# can no longer hold every non-r4 query: priority goes to queries that have
-# NEVER had an external row (the worst state to leave one in) — all 48 are
-# in-window — then to the r3-checked block (simhash_docs, exact_dedup_docs
-# fill the remaining slots).  The 9 r3-green queries pushed past the window
-# (image_features, five jolt DSL variants, rollup_orders, anti_join,
+# With 50 never-checked r5 additions against a 50-row window (the gate has
+# checked exactly 50 rows in r3 and r4), the window can no longer hold every
+# non-r4 query: priority goes to (a) queries whose CODE changed this round
+# (contamination_check, bloom pre-pass) and (b) queries that have NEVER had
+# an external row (the worst state to leave one in) — 49 of the 50 new ones
+# are in-window; sliding_counts yields its slot to contamination_check (its
+# sibling tumbling_counts drives the same F.window path).  The r3-green
+# queries pushed past the window (simhash_docs, exact_dedup_docs,
+# image_features, five jolt DSL variants, rollup_orders, anti_join,
 # backfill_backward) each have an in-window sibling exercising the same code
-# path with a fresher row (image_features_real r4 + the same decode core;
+# path with a fresher row (near-dup family in-window via source_near_dup;
+# image_features_real r4 + the same decode core;
 # jolt_shift_props r4 + the 66 golden fixtures replayed locally every
 # round; cube_orders r4 for grouping sets; semi_join r4 for the join
 # family; backfill_last_value r4), and every query —
@@ -2101,7 +2105,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_stats": _q_charset_stats,
     "span_dup_stats": _q_span_dup_stats,
     "tumbling_counts": _q_tumbling_counts,
-    "sliding_counts": _q_sliding_counts,
+    # contamination_check's code changed this round (bloom pre-pass), so it
+    # takes an in-window slot; sliding_counts yields it — its in-window
+    # sibling tumbling_counts drives the same F.window aggregation path
+    # (sliding adds only the slideDuration param) and it keeps the local
+    # two-SF oracle check in tests/test_entry.py.
+    "contamination_check": _q_contamination_check,
     "video_features": _q_video_features,
     "decayed_activity": _q_decayed_activity,
     "repetition_stats": _q_repetition_stats,
@@ -2127,8 +2136,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": _q_rollup_orders,
     "anti_join": _q_anti_join,
     "backfill_backward": _q_backfill_backward,
-    # --- code changed in round 5 (bloom pre-pass): must be in-window ---
-    "contamination_check": _q_contamination_check,
+    # --- rotated out: in-window sibling tumbling_counts, see above ---
+    "sliding_counts": _q_sliding_counts,
     # --- checked in round 4; unique coverage per row ---
     "sessionize": _q_sessionize,
     "session_agg": _q_session_agg,

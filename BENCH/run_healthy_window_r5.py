@@ -16,10 +16,15 @@ steps:
 3. the sf0.1 flagship bench (median of 5) for the headline
    turns/sec row.
 
-Healthy = 8-proc DRAM streaming >= 66 GB/s AND 2-proc <= 26 GB/s AND
-2->8 membw efficiency >= 0.70 (BENCH/BASELINE.md: healthy windows read
-~20-22 / 71-85; the co-tenant signature INFLATES the 2-proc number
-while capping the 8-proc one).
+Healthy = 8-proc DRAM streaming >= 85 GB/s on two consecutive probes
+90 s apart. The original gate also required 2-proc <= 26 GB/s
+(BENCH/BASELINE.md healthy windows read ~20-22 / 71-85, and the
+co-tenant signature INFLATES the 2-proc number), but the box rebooted
+mid-round onto what behaves like a different host — 2-proc now reads
+33-37 GB/s even as 8-proc recovers to 96+ — so the 2-proc ceiling
+would never fire. A strong absolute 8-proc supply is the part of
+"healthy" that actually bounds the 32-core flagship and the 8-core
+sweep leg; the 2-proc number is recorded for the ratio context.
 
 Usage: python BENCH/run_healthy_window_r5.py [max_wait_minutes]
 Writes progress + results to BENCH/healthy_window_r5.json as it goes.
@@ -48,11 +53,7 @@ def _probe() -> dict:
 
 
 def _healthy(m: dict) -> bool:
-    return (
-        m["procs_8_gbps"] >= 66.0
-        and m["procs_2_gbps"] <= 26.0
-        and m["membw_eff_2_to_8"] >= 0.70
-    )
+    return m["procs_8_gbps"] >= 85.0
 
 
 def _save(state: dict) -> None:
@@ -62,19 +63,23 @@ def _save(state: dict) -> None:
 def main(max_wait_min: float) -> None:
     state: dict = {"probes": [], "status": "waiting"}
     deadline = time.time() + max_wait_min * 60
-    m = _probe()
-    state["probes"].append(m)
-    _save(state)
-    while not _healthy(m):
+    streak = 0
+    while streak < 2:  # two consecutive healthy probes, 90 s apart
+        m = _probe()
+        state["probes"].append(m)
+        _save(state)
+        if _healthy(m):
+            streak += 1
+            if streak < 2:
+                time.sleep(90)
+            continue
+        streak = 0
         if time.time() > deadline:
             state["status"] = "timed_out_waiting_for_healthy_window"
             _save(state)
             print(json.dumps(state["probes"][-3:]))
             return
         time.sleep(POLL_S)
-        m = _probe()
-        state["probes"].append(m)
-        _save(state)
 
     state["status"] = "measuring"
     state["window_probe"] = m

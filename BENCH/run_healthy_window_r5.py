@@ -53,7 +53,13 @@ def _probe() -> dict:
 
 
 def _healthy(m: dict) -> bool:
-    return m["procs_8_gbps"] >= 85.0
+    # >=85 was calibrated on the first post-reboot host ("8-proc recovers
+    # to 96+"); the box rebooted AGAIN onto a profile whose otherwise-idle
+    # 8-proc supply oscillates 80-94 (two in-runner probes pinned 80.7
+    # with loadavg ~0 and no co-tenant signature). 78 keeps the gate above
+    # the documented collapsed-bus band (54-78 with INFLATED 2-proc) while
+    # letting an idle-box window on this host profile actually fire.
+    return m["procs_8_gbps"] >= 78.0
 
 
 def _save(state: dict) -> None:

@@ -387,11 +387,16 @@ def main() -> None:
         # inflates proportionally with no code or plan change. The adjusted
         # figure scales throughput UP by measured-canary/healthy-ref only
         # when the canary reads degraded — a healthy window is never
-        # inflated. Ref re-baselined after the r5 kernel fast paths: old
-        # kernel healthy = 14.6-15.8 (BENCH/BASELINE.md); the fast paths
-        # measured 2.05x in a same-window A/B (23.57 -> 11.52 µs/rec), so
-        # ref = 15.0 / 2.05 ≈ 7.3 pending a healthy-window re-measurement.
-        "canary_healthy_us_ref": 7.3,
+        # inflated. Ref DIRECTLY PINNED in a healthy window (8-proc DRAM
+        # 94 GB/s, idle box) after the r5 kernel fast paths: median 11.52
+        # µs/rec over 7 runs (BENCH/healthy_window_r5.json canary_pin).
+        # The earlier derived value (old-kernel healthy 15.0 ÷ measured
+        # 2.05x A/B = 7.3) underestimated the ref because the post-reboot
+        # host profile is ~1.5x slower single-thread than the host the
+        # old-kernel 14.6-15.8 band was measured on; a too-low ref would
+        # have inflated every adjusted-throughput figure, so the direct
+        # pin supersedes the derivation.
+        "canary_healthy_us_ref": 11.52,
         "per_query_runs": 3,
         "queries": queries,
         "queries_xxhash_lane": queries_xxhash,

@@ -212,7 +212,7 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
     }
 
 
-def flagship_bucketed_lane(n_turns: int, cores: int = None, runs: int = 3) -> dict:
+def flagship_bucketed_lane(n_turns: int, cores: int = None, runs: int = 5) -> dict:
     """The flagship's AT-SCALE lane: the zero-exchange job over
     co-bucketed tables (the run_features --layout=bucketed plan — what
     --layout=auto selects above its size threshold, and the headline
@@ -220,15 +220,18 @@ def flagship_bucketed_lane(n_turns: int, cores: int = None, runs: int = 3) -> di
     one fresh JVM with its own /dev/shm warehouse runs a full-size
     warm-up then `runs` timed executions, median reported."""
     cores = cores or CPUS
-    wh = f"/dev/shm/fjs-bench-bkt-wh-{n_turns}" if os.path.isdir("/dev/shm") \
-        else os.path.join(tempfile.gettempdir(), f"fjs-bench-bkt-wh-{n_turns}")
-    scratch = wh + "-scratch"
-    # bucket count scales with input (pure function of n_turns, so the
-    # cached prep under wh stays consistent): ~40k rows/bucket —
-    # measured optimum, BENCH/bucket_sweep_r5.jsonl
+    # bucket count scales with input (~40k rows/bucket — measured
+    # optimum, BENCH/bucket_sweep_r5.jsonl) with a floor of 2 waves on
+    # this session's cores so small inputs don't quantize into
+    # fewer tasks than cores; the warehouse key includes the count so
+    # cached prep never mismatches the registered table's bucketing.
     from fluvio_jolt_spark.sources.tables import suggest_bucket_count
 
-    n_buckets = suggest_bucket_count(n_turns)
+    n_buckets = suggest_bucket_count(n_turns, min_tasks=cores)
+    tag = f"fjs-bench-bkt-wh-{n_turns}-{n_buckets}"
+    wh = f"/dev/shm/{tag}" if os.path.isdir("/dev/shm") \
+        else os.path.join(tempfile.gettempdir(), tag)
+    scratch = wh + "-scratch"
     code = f"""
 import sys, time, shutil, json
 from pathlib import Path

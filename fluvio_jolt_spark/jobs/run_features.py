@@ -146,7 +146,8 @@ def main(argv=None) -> int:
 
         if n_est is None:
             n_est = turns.count()
-        args.buckets = suggest_bucket_count(n_est)
+        args.buckets = suggest_bucket_count(
+            n_est, min_tasks=spark.sparkContext.defaultParallelism)
 
     if layout == "bucketed":
         report = _run_bucketed(spark, turns, snaps, spec_json, args)

@@ -67,6 +67,7 @@ class PartitionedParquetSource(TableSource):
 def suggest_bucket_count(
     n_rows: int, rows_per_bucket: int = 40_000,
     min_buckets: int = 16, max_buckets: int = 4096,
+    min_tasks: int | None = None,
 ) -> int:
     """Bucket-count rule for the zero-exchange layout, next power of
     two of ``n_rows / rows_per_bucket`` clamped to [min, max].
@@ -79,11 +80,22 @@ def suggest_bucket_count(
     0.78–0.87 with the campaign's fastest and tightest walls); too
     many buckets shrinks row groups below efficient scan size. ~40k
     turn-rows per bucket hits the measured sweet spot and a real
-    cluster-scale table carries thousands of buckets either way."""
+    cluster-scale table carries thousands of buckets either way.
+
+    ``min_tasks``: the executing cluster's total core count, when the
+    caller knows it. Small inputs on wide sessions otherwise get fewer
+    buckets than cores (600k rows → 16 buckets leaves half of a
+    local[32] idle and any straggler doubles the wall); passing cores
+    raises the floor to the next power of two ≥ 2×cores so every core
+    gets work across ≥2 waves. Irrelevant at cluster scale, where the
+    row-driven count is in the thousands anyway."""
     import math
 
     raw = max(1, n_rows // max(1, rows_per_bucket))
     p2 = 1 << max(0, math.ceil(math.log2(raw)))
+    if min_tasks:
+        floor2 = 1 << max(0, math.ceil(math.log2(2 * min_tasks)))
+        min_buckets = min(max_buckets, max(min_buckets, floor2))
     return max(min_buckets, min(max_buckets, p2))
 
 

@@ -249,6 +249,16 @@ def test_suggest_bucket_count_rule():
     assert suggest_bucket_count(10_000_000) == 256
     assert suggest_bucket_count(10**12) == 4096
 
+    # min_tasks raises the floor to >=2 waves on the session's cores so
+    # a small input never gets fewer tasks than cores (600k rows on
+    # local[32] would otherwise bucket into 16 < 32 tasks)...
+    assert suggest_bucket_count(600_000, min_tasks=32) == 64
+    assert suggest_bucket_count(600_000, min_tasks=8) == 16
+    assert suggest_bucket_count(2_400_000, min_tasks=32) == 64
+    # ...and never lowers a row-driven count or breaks the clamp.
+    assert suggest_bucket_count(10_000_000, min_tasks=32) == 256
+    assert suggest_bucket_count(10**12, min_tasks=4096) == 4096
+
 
 def test_run_features_auto_bucket_count(spark, tmp_path):
     """Omitting --buckets derives the count from the input size

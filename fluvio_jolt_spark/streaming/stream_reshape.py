@@ -3,9 +3,9 @@
 The reference's streaming form is a per-record SmartModule map over a
 Fluvio topic (smartmodule/src/lib.rs:35-44). The Spark-native
 equivalent: ``readStream`` (file/Kafka source) → the SAME
-``jolt_reshape`` stage (mapInPandas works unchanged on streaming
-DataFrames; the spec compiles once per executor and is reused across
-micro-batches) → windowed aggregations with watermarks for late data →
+``jolt_reshape`` stage (mapInArrow/mapInPandas work unchanged on
+streaming DataFrames; the spec compiles once per executor and is
+reused across micro-batches) → windowed aggregations with watermarks for late data →
 ``writeStream`` sink.
 
 Stateful sessionization for streams uses ``session_window`` (gap-based

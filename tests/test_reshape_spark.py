@@ -52,6 +52,42 @@ def test_reshape_output_content(spark):
     assert list(got.keys()) == ["balance", "personal_details", "contacts", "account_type"]
 
 
+def test_reshape_arrow_pandas_engine_parity(spark, transcripts_small):
+    """The mapInArrow production path and the mapInPandas reference
+    path must agree byte-for-byte (values, nulls, dead letters, and
+    column order) on the same input."""
+    df, _ = transcripts_small
+    spec = reference_bench_spec()
+    sample = df.limit(300)
+    arrow = jolt_reshape(sample, spec, columns="text", engine="arrow")
+    pandas = jolt_reshape(sample, spec, columns="text", engine="pandas")
+    assert arrow.columns == pandas.columns
+    key = [c for c in ("conv_id", "turn_idx") if c in arrow.columns] or ["text"]
+    a_rows = [tuple(r) for r in arrow.orderBy(*key).collect()]
+    p_rows = [tuple(r) for r in pandas.orderBy(*key).collect()]
+    assert a_rows == p_rows
+
+
+def test_reshape_arrow_engine_dead_letter_and_nulls(spark):
+    spec = json.dumps([{"operation": "shift", "spec": {"a": {"@(1,missing)": "out"}}}])
+    df = spark.createDataFrame(
+        [('{"a": {"b": 1}}',), ("not json at all",), ('{"ok": 1}',), (None,)],
+        "text string",
+    )
+    rows = jolt_reshape(df, spec, engine="arrow").collect()
+    by_text = {r.text: r for r in rows}
+    assert "KeyNotFound" in by_text['{"a": {"b": 1}}'].text_error
+    assert by_text['{"a": {"b": 1}}'].text_reshaped is None
+    assert by_text['{"ok": 1}'].text_error is None
+    assert by_text[None].text_reshaped is None and by_text[None].text_error is None
+
+
+def test_reshape_bad_engine_rejected(spark):
+    df = spark.createDataFrame([('{"a":1}',)], "text string")
+    with pytest.raises(ValueError, match="engine"):
+        jolt_reshape(df, json.dumps([{"operation": "default", "spec": {"x": 1}}]), engine="nope")
+
+
 def test_reshape_dead_letter(spark):
     spec = json.dumps([{"operation": "shift", "spec": {"a": {"@(1,missing)": "out"}}}])
     df = spark.createDataFrame(

@@ -112,6 +112,9 @@ def main(max_wait_min: float) -> None:
     if len(rows) > n_before:
         tagged = json.loads(rows[-1])
         tagged["kernel"] = "fastpath"
+        # rows measured after the mapInArrow reshape engine landed carry
+        # an explicit engine tag so old/new rows split cleanly
+        tagged["reshape_engine"] = "arrow"
         rows[-1] = json.dumps(tagged)
         sweep_jsonl.write_text("\n".join(rows) + "\n")
         state["sweep_pass"] = tagged

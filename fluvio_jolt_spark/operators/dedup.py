@@ -648,19 +648,72 @@ def near_dup_candidates_scaled(
     )
 
 
+# Below this many (symmetrized) edges the whole candidate graph goes
+# through a single-task union-find instead of iterated HashMin rounds —
+# the same shape as Spark's broadcast-join threshold: 5M edges is
+# ~80 MB of longs, trivially one-task work, while each HashMin round
+# costs two shuffles + an action. LSH candidate graphs are vanishingly
+# small relative to the corpus (pairs ≪ docs), so at validation scale
+# this path almost always fires; a 100 TB corpus with billions of
+# candidate pairs takes the iterative path unchanged.
+SMALL_GRAPH_EDGE_THRESHOLD = 5_000_000
+
+
+def _union_find_components(batches):
+    """Single-partition union-find with path compression; emits
+    (v, component=min vertex id of the component). Runs as one task —
+    only ever invoked under SMALL_GRAPH_EDGE_THRESHOLD."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # root at the smaller id so the final label IS min(component)
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+            a = int(a)
+            b = int(b)
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            union(a, b)
+    vs = sorted(parent)
+    yield pd.DataFrame({"v": vs, "component": [find(v) for v in vs]})
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair graph —
     the last step of a dedup pipeline: every near-dup component gets a
     canonical label (its minimum vertex id), so "keep one per cluster"
     is ``filter(v == component)``.
 
-    HashMin label propagation: each vertex's label is the min of its
-    own and its neighbors', iterated to fixpoint. Convergence takes
+    Physical strategy is size-dispatched like a broadcast join: at or
+    under ``small_graph_edges`` candidate pairs the whole graph runs
+    through a single-task union-find (``_union_find_components``) —
+    zero shuffle rounds; above it, HashMin label propagation: each
+    vertex's label is the min of its own and its neighbors', iterated
+    to fixpoint. Convergence takes
     exactly ecc(min-vertex) ≤ diameter iterations; near-dup components
     are dense clusters of copies with tiny diameter (a candidate
     generator that emits long chains of pairwise-similar-but-globally-
@@ -678,11 +731,21 @@ def connected_components(
     vertices not present in ``edges`` are absent (singletons are the
     caller's docs minus this frame — coalesce on join-back).
     """
-    sym = edges.select(
+    half = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
-    sym = sym.union(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    # Broadcast-threshold-style dispatch: one cheap count on the (needed
+    # anyway) candidate frame picks the physical strategy, exactly like
+    # Catalyst sizing a join side. Small graph → single-task union-find
+    # (zero shuffle rounds); big graph → iterated HashMin below.
+    if half.count() <= small_graph_edges:
+        out = half.coalesce(1).mapInPandas(
+            _union_find_components, "v long, component long"
+        ).localCheckpoint(eager=True)
+        half.unpersist()
+        return out
+    sym = half.union(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
         "lbl", F.col("v")
@@ -709,6 +772,7 @@ def connected_components(
             converged = True
             break
     sym.unpersist()
+    half.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "

@@ -463,13 +463,43 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         pd.DataFrame({"id_a": list(range(5)), "id_b": list(range(1, 6))})
     )
+    # small_graph_edges=0 forces the iterative HashMin path — the
+    # union-find fast path needs no rounds and cannot non-converge
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=3)
+        connected_components(edges, max_iter=3, small_graph_edges=0)
     ok = {
         r["v"]: r["component"]
-        for r in connected_components(edges, max_iter=10).collect()
+        for r in connected_components(edges, max_iter=10, small_graph_edges=0).collect()
     }
     assert set(ok.values()) == {0}
+
+
+def test_connected_components_paths_agree(spark):
+    """The single-task union-find fast path and the iterative HashMin
+    path must produce identical (v, component) labelings on the same
+    random graph (mixed chains, cliques, islands, self-loops)."""
+    import random
+
+    import pandas as pd
+    from fluvio_jolt_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = []
+    # random sparse graph over 300 vertices + a long chain + a clique
+    edges += [(rng.randrange(300), rng.randrange(300)) for _ in range(200)]
+    edges += [(1000 + i, 1001 + i) for i in range(40)]
+    edges += [(2000 + a, 2000 + b) for a in range(8) for b in range(a)]
+    pdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    df = spark.createDataFrame(pdf)
+    fast = {
+        (r["v"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    slow = {
+        (r["v"], r["component"])
+        for r in connected_components(df, max_iter=60, small_graph_edges=0).collect()
+    }
+    assert fast == slow and len(fast) > 0
 
 
 # ------------------------------------------------------- group minhash

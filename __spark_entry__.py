@@ -2056,7 +2056,12 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (contamination_check, bloom pre-pass) and (b) queries that have NEVER had
 # an external row (the worst state to leave one in) — 49 of the 50 new ones
 # are in-window; sliding_counts yields its slot to contamination_check (its
-# sibling tumbling_counts drives the same F.window path).  The r3-green
+# sibling tumbling_counts drives the same F.window path).  Late-r5 the
+# reshape stage switched engines (mapInPandas → mapInArrow), so rule (a)
+# fires again: jolt_shift_props rotates in to give the new engine an
+# external oracle row, and asof_join_nearest yields (siblings
+# asof_join_forward + asof_join_tolerance in-window, same asof_join plan)
+# and sits first past the window.  The r3-green
 # queries pushed past the window (simhash_docs, exact_dedup_docs,
 # image_features, five jolt DSL variants, rollup_orders, anti_join,
 # backfill_backward) each have an in-window sibling exercising the same code
@@ -2070,7 +2075,12 @@ def _q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never externally gate-checked (new in round 5) ---
     "asof_join_forward": _q_asof_join_forward,
-    "asof_join_nearest": _q_asof_join_nearest,
+    # code-changed this round (mapInArrow reshape engine): one jolt oracle
+    # query rotates INTO the window to give the new engine an external row;
+    # asof_join_nearest yields its slot (siblings asof_join_forward and
+    # asof_join_tolerance drive the same union-window asof_join plan
+    # in-window) and sits first outside the window
+    "jolt_shift_props": _q_jolt_shift_props,
     "split_assign": _q_split_assign,
     "boilerplate_prefix": _q_boilerplate_prefix,
     "prefix_dups": _q_prefix_dups,
@@ -2125,6 +2135,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": _q_psi_drift,
     "training_matrix": _q_training_matrix,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
+    "asof_join_nearest": _q_asof_join_nearest,
     "simhash_docs": _q_simhash_docs,
     "exact_dedup_docs": _q_exact_dedup_docs,
     "image_features": _q_image_features,
@@ -2188,7 +2199,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _q_quality_score,
     "lang_id": _q_lang_id,
     "cosine_topk": _q_cosine_topk,
-    "jolt_shift_props": _q_jolt_shift_props,
     "lag_latency": _q_lag_latency,
 }
 

@@ -256,6 +256,12 @@ def embedding_near_dup(
     )
     if bucket_cap is not None:
         keyed = _cap_buckets(keyed, ["tbl", "bucket"], bucket_cap)
+    # materialize the narrow (id, tbl, bucket) frame once: a self-join
+    # of a lazy frame computes the SRP projection for BOTH sides, and
+    # the plane dot products run as interpreted higher-order lambdas —
+    # the single most expensive expression in the plan. ~24 B/row×table
+    # on executor storage, a vanishing fraction of the vectors themselves.
+    keyed = keyed.localCheckpoint(eager=True)
     l, r = keyed.alias("l"), keyed.alias("r")
     cands = (
         l.join(

@@ -520,24 +520,34 @@ def bigram_logprob(
 
     uni = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     if total_tokens is None:
-        total_tokens = uni.count()
+        # map-only: sum(size(split)) equals count(explode(split)) —
+        # including empty tokens from repeated separators — without
+        # materializing the token stream for a driver count
+        total_tokens = df.select(
+            F.sum(F.size(F.split(F.col(text_col), " ")))
+        ).collect()[0][0]
     n_corpus = float(total_tokens)
 
     c_bi = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
     c_w1 = c_bi.groupBy("w1").agg(F.sum("c_bi").alias("c_w1"))
     c_uni = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
 
-    j = (
-        bi.join(c_bi, ["w1", "w2"])
-        .join(c_w1, "w1")
-        .join(c_uni.withColumnRenamed("tok", "w2"), "w2")
-    )
+    # p(w2|w1) depends only on the bigram TYPE, so fold the three count
+    # tables into one vocab-sized probability table first (joins over
+    # bigram-vocabulary cardinality) and hit the heavy exploded bigram
+    # STREAM with a single join — same IEEE ops per bigram, one stream
+    # shuffle instead of three
     p = (
         F.lit(float(lam)) * F.col("c_bi").cast("double") / F.col("c_w1").cast("double")
         + F.lit(1.0 - float(lam)) * F.col("c_uni").cast("double") / F.lit(n_corpus)
     )
-    return j.groupBy(id_col).agg(
-        F.round(F.avg(F.log(p)), 4).alias("bigram_logprob"),
+    p_tbl = (
+        c_bi.join(c_w1, "w1")
+        .join(c_uni.withColumnRenamed("tok", "w2"), "w2")
+        .select("w1", "w2", F.log(p).alias("lp"))
+    )
+    return bi.join(p_tbl, ["w1", "w2"]).groupBy(id_col).agg(
+        F.round(F.avg("lp"), 4).alias("bigram_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
 

@@ -94,7 +94,9 @@ def _srp_planes(dims: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def srp_bucket_col(vec_col, planes: np.ndarray):
     """Sign-random-projection bucket id (one long) as a Catalyst
-    expression: sum of bits from per-plane dot products."""
+    expression: sum of bits from per-plane dot products. The reference
+    semantics — ``srp_buckets_udf`` is the vectorized production twin
+    and is parity-pinned against this column."""
     v = _as_double(vec_col)
     acc = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -102,6 +104,59 @@ def srp_bucket_col(vec_col, planes: np.ndarray):
         dot = F.aggregate(F.zip_with(v, plit, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
         acc = acc + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
+
+
+def srp_buckets_udf(plane_sets: "list[np.ndarray]"):
+    """All SRP table buckets in ONE Arrow-vectorized pass: a pandas UDF
+    returning array<long> (one bucket per plane set), bit-exact to
+    ``srp_bucket_col`` per element.
+
+    Why it exists: the Catalyst expression runs the plane dot products
+    as interpreted higher-order lambdas — n_tables × n_planes folds of
+    dims elements per row, never codegen'd. numpy does the identical
+    IEEE-754 arithmetic vectorized: elementwise binary64 multiply is
+    the same op as the zip_with product, and
+    ``np.add.accumulate(...)[:, -1]`` IS the expression's sequential
+    left fold (accumulate is defined as running left-to-right
+    application, and the fold's 0.0 seed is additive identity for
+    every binary64 except -0.0, whose sign never survives a >= 0
+    comparison). NaN dots set the bit, because Spark SQL orders NaN
+    LARGER than every numeric (``NaN >= 0`` is true) — numpy's
+    IEEE-false NaN comparison is explicitly OR'd with isnan to match.
+    Whole-NULL rows get bucket 0 (as in the expression path). The one
+    DOCUMENTED divergence: a NULL *element* inside a vector — Spark's
+    Arrow transfer erases element-level null-vs-NaN, so such rows hash
+    as NaN vectors (all bits set) where the expression path gives 0;
+    both are garbage-in placements of a malformed row, and the parity
+    test pins the divergence explicitly. The parity test drives both
+    columns over random, near-orthogonal, null and NaN vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    sets = [np.ascontiguousarray(p, dtype=np.float64) for p in plane_sets]
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        rows = vs.tolist()
+        good = np.array([r is not None for r in rows], dtype=bool)
+        out = np.zeros((n, len(sets)), dtype=np.int64)
+        if good.any():
+            m = np.array(
+                [
+                    [np.nan if x is None else float(x) for x in rows[i]]
+                    for i in np.flatnonzero(good)
+                ],
+                dtype=np.float64,
+            )
+            for t, planes in enumerate(sets):
+                acc = np.zeros(len(m), dtype=np.int64)
+                for i in range(planes.shape[0]):
+                    dot = np.add.accumulate(m * planes[i], axis=1)[:, -1]
+                    acc |= ((dot >= 0) | np.isnan(dot)).astype(np.int64) << i
+                out[np.flatnonzero(good), t] = acc
+        return pd.Series([r.tolist() for r in out])
+
+    return _buckets
 
 
 def lsh_ann_topk(
@@ -240,19 +295,15 @@ def embedding_near_dup(
     # sample one row to get dims
     first = df.select(vec_col).first()
     dims = len(first[0])
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_bucket_col(
-                    F.col(vec_col), _srp_planes(dims, n_planes, seed + t)
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    keyed = df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
-        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    # all tables' buckets in one Arrow-vectorized pass (bit-exact to the
+    # srp_bucket_col expression — see srp_buckets_udf), then posexplode
+    # into the narrow (id, tbl, bucket) blocking frame
+    plane_sets = [_srp_planes(dims, n_planes, seed + t) for t in range(n_tables)]
+    keyed = df.select(
+        F.col(id_col),
+        F.posexplode(srp_buckets_udf(plane_sets)(F.col(vec_col))).alias(
+            "tbl", "bucket"
+        ),
     )
     if bucket_cap is not None:
         keyed = _cap_buckets(keyed, ["tbl", "bucket"], bucket_cap)

@@ -194,6 +194,55 @@ def test_lsh_ann_recall(spark, emb):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_srp_buckets_udf_parity(spark):
+    """The Arrow-vectorized SRP bucketing must be bit-exact to the
+    srp_bucket_col expression — including near-orthogonal vectors
+    (sign-boundary dots), whole-null rows, null elements, and NaN
+    elements (Spark orders NaN above every numeric)."""
+    from fluvio_jolt_spark.operators.similarity import (
+        _srp_planes,
+        srp_bucket_col,
+        srp_buckets_udf,
+    )
+
+    rng = np.random.RandomState(7)
+    dims = 16
+    sets = [_srp_planes(dims, 5, 42 + t) for t in range(3)]
+    rows = [(i, rng.normal(size=dims).tolist()) for i in range(200)]
+    for t, planes in enumerate(sets):
+        p0 = planes[0] / np.linalg.norm(planes[0])
+        for j in range(20):
+            v = rng.normal(size=dims)
+            v -= (v @ p0) * p0  # dot vs plane 0 lands at the sign boundary
+            rows.append((1000 + t * 100 + j, v.tolist()))
+    rows.append((9000, None))
+    bad = rng.normal(size=dims).tolist()
+    bad[3] = None
+    rows.append((9001, bad))
+    nanv = rng.normal(size=dims).tolist()
+    nanv[2] = float("nan")
+    rows.append((9002, nanv))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    expr_cols = [
+        srp_bucket_col(F.col("embedding"), planes).alias(f"e{t}")
+        for t, planes in enumerate(sets)
+    ]
+    out = df.select(
+        "id", *expr_cols, srp_buckets_udf(sets)(F.col("embedding")).alias("u")
+    ).collect()
+    assert len(out) == 263
+    all_bits = (1 << 5) - 1
+    for r in out:
+        if r.id == 9001:
+            # documented divergence: Arrow erases element-level null vs
+            # NaN, so a null-element row hashes as a NaN vector in the
+            # UDF (all bits) where the expression path gives 0
+            assert [r[f"e{t}"] for t in range(3)] == [0, 0, 0]
+            assert list(r["u"]) == [all_bits] * 3
+            continue
+        assert [r[f"e{t}"] for t in range(3)] == list(r["u"]), r.id
+
+
 def test_embedding_near_dup_self(spark, emb):
     # plant an exact duplicate vector
     dup = emb.filter(F.col("vec_id") == 1).withColumn("vec_id", F.lit(99999).cast("long"))

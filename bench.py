@@ -161,6 +161,7 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
     from pyspark.sql import functions as F
 
     from fluvio_jolt_spark.operators.dedup import (
+        connected_components,
         group_minhash_lsh_candidates,
         jaccard_verify,
         minhash_lsh_candidates,
@@ -168,6 +169,7 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
         ngram_contamination,
         simhash,
         simhash_candidates,
+        span_dup_stats,
     )
 
     docs = em._read(spark, sf_dir, "documents")
@@ -202,6 +204,27 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
         "source_near_dup": lambda: group_minhash_lsh_candidates(
             docs, group_col="source", num_hashes=16, bands=8,
             hash_family="xxhash64", bucket_cap=cap,
+        ),
+        "span_dup_stats": lambda: span_dup_stats(
+            docs, shingle_n=5, hash_family="xxhash64"
+        ),
+        "dup_clusters": lambda: (
+            docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .join(
+                connected_components(
+                    minhash_lsh_candidates(
+                        docs, num_hashes=16, bands=8,
+                        hash_family="xxhash64", bucket_cap=cap,
+                    ),
+                    "id_a", "id_b",
+                ),
+                F.col("doc_id") == F.col("v"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+            )
         ),
     }
     return {

@@ -1007,6 +1007,35 @@ def _q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, shingle_n=5, hash_family="md5")
 
 
+def _q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-order n-gram novelty per document: the fraction of a
+    doc's distinct word 3-grams whose first corpus occurrence (by
+    ascending doc_id = crawl order) is this document — the
+    incremental-crawl value signal (operators.dedup.novelty_stats;
+    the batch-vs-corpus form novelty_vs_corpus shares the unit tests).
+    md5 hash family so the oracle recomputes every gram hash."""
+    from fluvio_jolt_spark.operators.dedup import novelty_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return novelty_stats(docs, shingle_n=3, hash_family="md5")
+
+
+def _q_batch_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus n-gram novelty (operators.dedup.
+    novelty_vs_corpus): odd doc_ids play the incoming crawl batch,
+    even doc_ids the existing corpus — per batch doc, the fraction of
+    its distinct word 3-grams appearing nowhere in the corpus. The
+    corpus side collapses to DISTINCT 8-byte gram hashes before the
+    membership join (same reduction as decontamination), so the heavy
+    text never shuffles. md5 family for the oracle lane."""
+    from fluvio_jolt_spark.operators.dedup import novelty_vs_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return novelty_vs_corpus(batch, corpus, shingle_n=3, hash_family="md5")
+
+
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 15-minute event-time windows per event type — the
     canonical Spark ``F.window`` aggregation (same construct the
@@ -2098,7 +2127,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": _q_mixture_weights,
     "segment_dedup": _q_segment_dedup,
     "embedding_quantize": _q_embedding_quantize,
-    "dup_cluster_sizes": _q_dup_cluster_sizes,
     "bigram_quality": _q_bigram_quality,
     "key_skew_profile": _q_key_skew_profile,
     "ri_audit": _q_ri_audit,
@@ -2114,6 +2142,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_sim": _q_label_centroid_sim,
     "charset_stats": _q_charset_stats,
     "span_dup_stats": _q_span_dup_stats,
+    # new operator in the round-5 continuation (novelty_stats) — rule (b):
+    # never-checked new code takes an in-window slot; training_matrix
+    # yields (see its comment below)
+    "doc_novelty": _q_doc_novelty,
+    # second continuation novelty op (novelty_vs_corpus) — rule (b) again;
+    # dup_cluster_sizes yields (see its comment below)
+    "batch_novelty": _q_batch_novelty,
     "tumbling_counts": _q_tumbling_counts,
     # contamination_check's code changed this round (bloom pre-pass), so it
     # takes an in-window slot; sliding_counts yields it — its in-window
@@ -2133,7 +2168,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": _q_unigram_logprob,
     "cv_folds": _q_cv_folds,
     "psi_drift": _q_psi_drift,
+    # training_matrix yields its window slot to doc_novelty (new code):
+    # it is a COMPOSITION whose every component has its own in-window
+    # row (asof_join_tolerance, target_encode_events,
+    # distinct_types_seen, cv_folds), and it keeps the local two-SF
+    # stock+tuned oracle check in tests/test_entry.py
     "training_matrix": _q_training_matrix,
+    # dup_cluster_sizes yields its window slot to batch_novelty (new
+    # code): its in-window sibling dup_clusters drives the IDENTICAL
+    # changed code path (LSH candidate graph -> size-dispatched
+    # connected components) — sizes adds only a groupBy count on the
+    # resulting labels — and it keeps the local two-SF check
+    "dup_cluster_sizes": _q_dup_cluster_sizes,
     # --- last externally checked in round 3 (r4 tail, rotated back in) ---
     "asof_join_nearest": _q_asof_join_nearest,
     "simhash_docs": _q_simhash_docs,
@@ -3566,6 +3612,62 @@ def oracle_sql() -> dict[str, str]:
                  ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
                        / CAST(COUNT(*) AS DOUBLE), 4) AS span_dup_frac
           FROM spans JOIN freq USING (gh)
+          GROUP BY doc_id
+        """,
+        "doc_novelty": """
+          WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3
+                        THEN list_distinct(list_transform(
+                               range(1, len(w) - 3 + 2),
+                               i -> array_to_string(list_slice(w, i, i + 3 - 1), ' ')))
+                        ELSE [array_to_string(w, ' ')] END AS shingles
+            FROM w
+          ), grams AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+          ), firsts AS (
+            SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
+          )
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel,
+                 ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_frac
+          FROM grams JOIN firsts USING (gh)
+          GROUP BY doc_id
+        """,
+        "batch_novelty": """
+          WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 3
+                        THEN list_distinct(list_transform(
+                               range(1, len(w) - 3 + 2),
+                               i -> array_to_string(list_slice(w, i, i + 3 - 1), ' ')))
+                        ELSE [array_to_string(w, ' ')] END AS shingles
+            FROM w
+          ), grams AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT AS gh
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+          ), corpus AS (
+            SELECT DISTINCT gh FROM grams WHERE doc_id % 2 = 0
+          ), batch AS (
+            SELECT doc_id, gh FROM grams WHERE doc_id % 2 = 1
+          )
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN corpus.gh IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel,
+                 ROUND(SUM(CASE WHEN corpus.gh IS NULL THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_frac
+          FROM batch LEFT JOIN corpus ON batch.gh = corpus.gh
           GROUP BY doc_id
         """,
         "label_centroid_sim": """

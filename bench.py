@@ -167,6 +167,7 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
         minhash_lsh_candidates,
         near_dup_candidates_scaled,
         ngram_contamination,
+        novelty_stats,
         simhash,
         simhash_candidates,
         span_dup_stats,
@@ -207,6 +208,9 @@ def bench_lsh_production_lane(spark, sf_dir: str, runs: int = 3) -> dict[str, fl
         ),
         "span_dup_stats": lambda: span_dup_stats(
             docs, shingle_n=5, hash_family="xxhash64"
+        ),
+        "doc_novelty": lambda: novelty_stats(
+            docs, shingle_n=3, hash_family="xxhash64"
         ),
         "dup_clusters": lambda: (
             docs.select(F.col("doc_id").cast("long").alias("doc_id"))

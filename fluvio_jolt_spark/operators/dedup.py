@@ -828,6 +828,103 @@ def span_dup_stats(
     )
 
 
+def novelty_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Arrival-order n-gram novelty per document: the fraction of a
+    document's distinct word n-grams whose FIRST corpus occurrence (by
+    ascending ``id_col``, the crawl/ingest order) is this document.
+    This is the incremental-crawl value signal: a re-crawled or
+    templated document scores ~0 (everything it says arrived earlier)
+    while genuinely new content scores near 1 — the complement of
+    ``span_dup_stats``, which measures sharing regardless of direction.
+
+    Returns (id, n_grams, n_novel, novelty_frac) with n_grams counting
+    the doc's DISTINCT grams (within-doc repetition doesn't dilute).
+
+    100-TB shape: grams collapse to 8-byte hashes map-side (text never
+    shuffles); first-occurrence is ONE partial-agg'd min() groupBy on
+    the gram hash; the join back to (id, hash) rides the same hash
+    partitioning (exchange reuse); the per-doc rollup is a second
+    partial-agg'd groupBy on the id. No windows, no explode of
+    anything wider than (id, hash). hash_family="md5" is the
+    cross-engine-checkable family (the driver oracle recomputes the
+    60-bit hashes in DuckDB); xxhash64 is the production default."""
+    gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
+    ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
+    firsts = grams.groupBy("_gh").agg(F.min(id_col).alias("_first"))
+    return (
+        grams.join(firsts, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long")).alias("n_novel"),
+            F.round(
+                F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+def novelty_vs_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Batch-vs-corpus n-gram novelty: score an incoming crawl batch
+    against the EXISTING corpus — per new document, the fraction of its
+    distinct word n-grams that appear nowhere in ``corpus_df``. The
+    production companion to ``novelty_stats`` (which scores a single
+    corpus against its own arrival order): crawl schedulers drop or
+    down-weight batches whose novelty collapses.
+
+    Returns (id, n_grams, n_novel, novelty_frac) for ``new_df`` rows.
+
+    100-TB shape: the corpus side collapses to DISTINCT 8-byte gram
+    hashes before the join (the heavy text never shuffles and the
+    corpus gram table is its only shuffled form — the same reduction
+    ``ngram_contamination`` uses, dedup.py:533); the membership test is
+    a left join on the hash with a literal flag, aggregated per doc.
+    A bloom pre-pass (``build_gram_bloom``) composes in front of the
+    join exactly as in decontamination when the corpus gram table is
+    still too large to co-shuffle comfortably."""
+    gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
+    new_grams = new_df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
+    ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
+    corpus_grams = (
+        corpus_df.select(
+            F.explode(word_shingles(text_col, shingle_n)).alias("_g")
+        )
+        .select(gram_hash(F.col("_g")).alias("_gh"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return (
+        new_grams.join(corpus_grams, "_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("_seen").isNull().cast("long")).alias("n_novel"),
+            F.round(
+                F.sum(F.col("_seen").isNull().cast("long")) / F.count(F.lit(1)),
+                4,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
 def segment_dedup_rewrite(
     df: DataFrame,
     text_col: str = "text",

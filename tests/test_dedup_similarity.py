@@ -724,6 +724,67 @@ def test_span_dup_stats_planted_shared_spans(spark):
         assert rows[3]["span_dup_frac"] == 0.0
 
 
+def test_novelty_stats_arrival_order(spark):
+    """First-occurrence novelty by ascending doc_id: a doc re-stating
+    earlier content scores low; an exact re-crawl scores 0."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.dedup import novelty_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c d e",        # 3 grams, all first here
+                "a b c d e f",      # 4 grams, only "d e f" is new
+                "a b c d e",        # exact re-crawl of doc 1
+            ],
+        })
+    )
+    for family in ("xxhash64", "md5"):
+        rows = {
+            r["doc_id"]: r
+            for r in novelty_stats(docs, shingle_n=3, hash_family=family).collect()
+        }
+        assert rows[1]["n_grams"] == 3 and rows[1]["novelty_frac"] == 1.0
+        assert rows[2]["n_grams"] == 4 and rows[2]["n_novel"] == 1
+        assert rows[2]["novelty_frac"] == 0.25
+        assert rows[3]["n_novel"] == 0 and rows[3]["novelty_frac"] == 0.0
+
+
+def test_novelty_vs_corpus_planted(spark):
+    """Batch-vs-corpus novelty: membership is against the existing
+    corpus only (batch docs don't see each other), and a doc shorter
+    than the shingle width degrades to its whole text as one gram."""
+    import pandas as pd
+
+    from fluvio_jolt_spark.operators.dedup import novelty_vs_corpus
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [10, 11, 12],
+            "text": [
+                "a b c d e f",     # only "d e f" unseen
+                "p q r s t",       # fully novel
+                "x y",             # short doc -> single whole-text gram
+            ],
+        })
+    )
+    for family in ("xxhash64", "md5"):
+        rows = {
+            r["doc_id"]: r
+            for r in novelty_vs_corpus(
+                batch, corpus, shingle_n=3, hash_family=family
+            ).collect()
+        }
+        assert rows[10]["n_grams"] == 4 and rows[10]["n_novel"] == 1
+        assert rows[11]["novelty_frac"] == 1.0
+        assert rows[12]["n_grams"] == 1 and rows[12]["novelty_frac"] == 1.0
+
+
 def test_quantize_embeddings_roundtrip_bound(spark):
     import pandas as pd
     from fluvio_jolt_spark.operators.similarity import quantize_embeddings

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fluvio_jolt_spark.operators.partitioning import fan_out
+
 
 def _cap_buckets(exploded: DataFrame, key_cols: "list[str]", cap: int) -> DataFrame:
     """Drop rows belonging to over-populated LSH buckets before the
@@ -100,7 +102,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Returns (id, canonical_id, n_copies, is_canonical)."""
     h = content_hash(F.col(text_col)).alias("_h")
     ln = F.length(text_col).alias("_len")
-    keyed = df.select(F.col(id_col), h, ln)
+    keyed = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), h, ln
+    )
     groups = keyed.groupBy("_h", "_len").agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
     )
@@ -154,6 +158,7 @@ def minhash_signatures(
     in SQL, which is what makes the LSH pipeline oracle-checkable
     end-to-end."""
     sh = word_shingles(text_col, shingle_n).alias("_shingles")
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
     if hash_family == "md5":
         base = (
             df.select(F.col(id_col), sh)
@@ -346,7 +351,9 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only (the cheap
     verify stage after LSH blocking)."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sh = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -377,7 +384,7 @@ def simhash(
     bit-identical (tested), so the SQL oracle keeps the textbook
     ±1 formulation."""
     token_hash = md5_60 if hash_family == "md5" else F.xxhash64
-    toks = df.select(
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select(id_col, token_hash(F.col("tok")).alias("h"))
     bit_sums = toks.groupBy(id_col).agg(
@@ -564,14 +571,14 @@ def ngram_contamination(
     driver oracle recomputes the same 60-bit hashes in SQL)."""
     gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
     train_grams = (
-        train.select(
+        fan_out(train.select(F.col(text_col))).select(
             F.explode(word_shingles(text_col, shingle_n)).alias("_g")
         )
         .select(gram_hash(F.col("_g")).alias("_gh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    eval_grams = eval_df.select(
+    eval_grams = fan_out(eval_df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
     ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
 
@@ -807,14 +814,26 @@ def span_dup_stats(
     partial-agg'd groupBy. Because spans are distinct within a doc,
     count(*) per hash == number of docs sharing the span — no
     count_distinct needed. hash_family="md5" is the cross-engine-
-    checkable family (driver oracle recomputes the 60-bit hashes)."""
+    checkable family (driver oracle recomputes the 60-bit hashes).
+
+    r6: the corpus span frequency attaches via count() OVER
+    (PARTITION BY hash) instead of a groupBy+self-join — the span
+    pipeline (explode + hash) is computed ONCE and crosses one
+    exchange, where the join form evaluated it twice (once under the
+    frequency aggregate, once as the probe side) and at corpus scale
+    would have to broadcast or re-shuffle a gram-frequency table with
+    one entry per distinct span. Output is identical: span hashes are
+    never null, so the window partition count equals the join's
+    per-hash match count row for row."""
     gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
-    spans = df.select(
+    spans = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
     ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
-    freq = spans.groupBy("_gh").agg(F.count(F.lit(1)).alias("_nd"))
+    spans = spans.withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy("_gh"))
+    )
     return (
-        spans.join(freq, "_gh")
+        spans
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -853,14 +872,22 @@ def novelty_stats(
     partial-agg'd groupBy on the id. No windows, no explode of
     anything wider than (id, hash). hash_family="md5" is the
     cross-engine-checkable family (the driver oracle recomputes the
-    60-bit hashes in DuckDB); xxhash64 is the production default."""
+    60-bit hashes in DuckDB); xxhash64 is the production default.
+
+    r6: first-occurrence attaches via min(id) OVER (PARTITION BY hash)
+    instead of a groupBy+self-join — the gram pipeline is computed once
+    and crosses one exchange (see span_dup_stats for the same rewrite's
+    rationale); gram hashes are never null so the window min equals the
+    join's per-hash min row for row."""
     gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
-    grams = df.select(
+    grams = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
     ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
-    firsts = grams.groupBy("_gh").agg(F.min(id_col).alias("_first"))
+    grams = grams.withColumn(
+        "_first", F.min(id_col).over(Window.partitionBy("_gh"))
+    )
     return (
-        grams.join(firsts, "_gh")
+        grams
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -900,11 +927,11 @@ def novelty_vs_corpus(
     join exactly as in decontamination when the corpus gram table is
     still too large to co-shuffle comfortably."""
     gram_hash = md5_60 if hash_family == "md5" else F.xxhash64
-    new_grams = new_df.select(
+    new_grams = fan_out(new_df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_g")
     ).select(id_col, gram_hash(F.col("_g")).alias("_gh"))
     corpus_grams = (
-        corpus_df.select(
+        fan_out(corpus_df.select(F.col(text_col))).select(
             F.explode(word_shingles(text_col, shingle_n)).alias("_g")
         )
         .select(gram_hash(F.col("_g")).alias("_gh"))
@@ -960,7 +987,9 @@ def segment_dedup_rewrite(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
     )
-    e = df.select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "_seg")).select(
+    e = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "_seg")
+    ).select(
         id_col, "seg_idx", "_seg", gram_hash(F.col("_seg")).alias("_gh")
     )
     w = Window.partitionBy("_gh").orderBy(id_col, "seg_idx")
@@ -1018,7 +1047,8 @@ def prefix_dup_candidates(
     norm = F.lower(F.regexp_replace(F.col(text_col), r"[ \t\n\r]+", " "))
     h = md5_60 if hash_family == "md5" else F.xxhash64
     base = (
-        df.select(F.col(id_col).cast("long").alias("id"), norm.alias("norm"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).cast("long").alias("id"), norm.alias("norm"))
         .withColumn("len", F.length("norm"))
         .filter(F.col("len") >= int(window))
     )

@@ -1537,9 +1537,13 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate rightly rejects); the top-3 is a doc-partitioned window,
     never global. Ranking uses round(score, 4) + lexical tie-break so
     both engines order identically despite independent libm ln()."""
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
     docs = _read(spark, sf_dir, "documents")
     n_docs = float(docs.count())
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         toks.select("doc_id", "tok")
@@ -2043,7 +2047,9 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_token_counts,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
+    docs = fan_out(_read(spark, sf_dir, "documents"))
     enr = with_pii_scan(with_token_counts(docs))
     agg = enr.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

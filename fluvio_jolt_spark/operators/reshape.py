@@ -83,9 +83,13 @@ def jolt_reshape(
     """Reshape one or more JSON-string columns through a Jolt spec.
 
     Appends ``<col><suffix>`` and ``<col>_error`` columns for each input
-    column; all other columns pass through untouched. Narrow operation:
-    no shuffle, preserves partitioning, pipelines with up/downstream
-    stages in the same task.
+    column; all other columns pass through untouched. Narrow operation
+    on well-partitioned input: no shuffle, preserves partitioning,
+    pipelines with up/downstream stages in the same task. When the input
+    arrives with fewer partitions than the session's cores (single
+    unsplittable file), ``fan_out`` repartitions it first so the
+    per-record Python kernel uses every worker instead of one (guide
+    §2.5 input-skew repair; a no-op on healthy inputs and streams).
 
     ``engine="arrow"`` (default) runs via ``mapInArrow``: passthrough
     columns ride through as untouched Arrow buffers — only the
@@ -105,6 +109,10 @@ def jolt_reshape(
     from fluvio_jolt_spark.jolt.compiler import TransformSpec
 
     TransformSpec.from_json(spec_json)
+
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
+    df = fan_out(df)
 
     out_fields = list(df.schema.fields)
     for c in columns:

@@ -187,7 +187,11 @@ def lsh_ann_topk(
             for j in range(i + 1, n_planes)
         ]
 
-    bucketed = df.withColumn("_bucket", srp_bucket_col(F.col(vec_col), planes))
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
+    bucketed = fan_out(df).withColumn(
+        "_bucket", srp_bucket_col(F.col(vec_col), planes)
+    )
     candidates = bucketed.filter(F.col("_bucket").isin(probe))
     return cosine_topk(candidates, query, k, vec_col, id_col)
 
@@ -220,7 +224,9 @@ def ann_batch_topk(
     dims = len(first[0])
     planes = _srp_planes(dims, n_planes, seed)
 
-    data = df.select(
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
+    data = fan_out(df).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
         srp_bucket_col(F.col(vec_col), planes).alias("_bucket"),
@@ -299,6 +305,9 @@ def embedding_near_dup(
     # srp_bucket_col expression — see srp_buckets_udf), then posexplode
     # into the narrow (id, tbl, bucket) blocking frame
     plane_sets = [_srp_planes(dims, n_planes, seed + t) for t in range(n_tables)]
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
+    df = fan_out(df)
     keyed = df.select(
         F.col(id_col),
         F.posexplode(srp_buckets_udf(plane_sets)(F.col(vec_col))).alias(
@@ -397,7 +406,9 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding")
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("ivf_cluster", T.IntegerType(), False)]
     )
-    return df.mapInPandas(assign, schema=schema)
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
+    return fan_out(df).mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(
@@ -526,10 +537,20 @@ def quantize_embeddings(
     Adds: q_codes (array<long>), q_min, q_scale, n_dims, mean_abs_err,
     max_abs_err."""
     levels = float((1 << int(n_bits)) - 1)
+    from fluvio_jolt_spark.operators.partitioning import fan_out
+
+    df = fan_out(df)
     v = _as_double(F.col(vec_col))
-    mn = F.array_min(v)
-    mx = F.array_max(v)
-    scale = (mx - mn) / F.lit(levels)
+    # r6: bind min/scale to real columns BEFORE the per-element lambdas —
+    # an inline array_min/array_max captured by transform()'s lambda is
+    # re-evaluated per element (O(d²) per row; measured 15.8 s → sub-s at
+    # sf1.0); as bound attributes they cost once per row. Same IEEE ops
+    # per element, so codes and errors are bit-identical.
+    df = df.withColumn("_q_mn", F.array_min(v)).withColumn(
+        "_q_scale", (F.array_max(v) - F.col("_q_mn")) / F.lit(levels)
+    )
+    mn = F.col("_q_mn")
+    scale = F.col("_q_scale")
     zero = scale == F.lit(0.0)
     codes = F.when(zero, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
         F.transform(
@@ -551,10 +572,18 @@ def quantize_embeddings(
         F.col("q_codes"),
         lambda x, q: F.abs(x - (F.col("q_min") + q.cast("double") * F.col("q_scale"))),
     )
-    return df.withColumn(
-        "mean_abs_err",
-        F.aggregate(dq, F.lit(0.0), lambda s, x: s + x) / F.col("n_dims").cast("double"),
-    ).withColumn("max_abs_err", F.array_max(dq))
+    # materialize the per-element error array once; mean and max fold
+    # over the same bound column instead of two copies of the zip_with
+    return (
+        df.withColumn("_q_dq", dq)
+        .withColumn(
+            "mean_abs_err",
+            F.aggregate("_q_dq", F.lit(0.0), lambda s, x: s + x)
+            / F.col("n_dims").cast("double"),
+        )
+        .withColumn("max_abs_err", F.array_max("_q_dq"))
+        .drop("_q_mn", "_q_scale", "_q_dq")
+    )
 
 
 def label_agreement(

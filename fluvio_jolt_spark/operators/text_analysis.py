@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fluvio_jolt_spark.operators.partitioning import fan_out
+
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
@@ -87,6 +89,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> 
     NULL when the document has no tokens (no n-grams for the gram
     lane): ratios over empty sets are undefined, not 0.
     """
+    df = fan_out(df)
     toks = tokens_col(text_col)
     nt = F.size(toks)
     # n-grams by zipping n shifted slices — O(len) per doc. The obvious
@@ -318,7 +321,9 @@ def unigram_logprob(
     caller passes ``total_tokens`` and persists the vocab table.
     round(.,4) absorbs cross-engine libm ln() and sum-order noise.
     """
-    toks = df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        id_col, F.explode(F.split(text_col, " ")).alias("tok")
+    )
     if total_tokens is None:
         total_tokens = toks.count()
     n = float(total_tokens)
@@ -362,7 +367,9 @@ def token_entropy(
     broadcast, no vocabulary table — strictly per-document work.
 
     Returns (id_col, n_tokens, n_distinct, ttr, entropy)."""
-    toks = df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        id_col, F.explode(F.split(text_col, " ")).alias("tok")
+    )
     counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c")
     c_ln_c = F.sum(F.col("c") * F.log(F.col("c")))
@@ -505,20 +512,26 @@ def bigram_logprob(
     absorbs cross-engine libm ln() and sum-order noise."""
     l = F.split(F.col(text_col), " ")
     n = F.size(l)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bi = df.select(
-        id_col,
-        F.explode(idx).alias("i"),
-        l.alias("_l"),
-    ).select(
-        id_col,
-        F.get("_l", F.col("i") - 1).alias("w1"),
-        F.get("_l", F.col("i")).alias("w2"),
+    # r6: build (w1, w2) pairs by zipping two shifted slices and explode
+    # the pair structs directly. The previous index-explode carried the
+    # ENTIRE token array in every exploded row (one copy per bigram —
+    # O(len²) bytes per document through the generator) just to
+    # element_at two words out of it.
+    m = n - F.lit(1)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(l, 1, m),
+            F.slice(l, 2, m),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    narrow = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    bi = narrow.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
 
-    uni = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    uni = narrow.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     if total_tokens is None:
         # map-only: sum(size(split)) equals count(explode(split)) —
         # including empty tokens from repeated separators — without
@@ -652,6 +665,7 @@ def quality_filter(
     directly over the scan with only ``text`` read. Comparisons happen
     on exact integer-ratio doubles (no rounding needed: both engines
     compute identical IEEE values from identical integers)."""
+    df = fan_out(df)
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     nd = n.cast("double")

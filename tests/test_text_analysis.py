@@ -495,7 +495,12 @@ def test_quality_filter_plan_is_map_only(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # map-only: no keyed (hash/range) shuffle anywhere in the plan. A
+    # RoundRobinPartitioning exchange is permitted: that's fan_out's
+    # input-skew repair when the source file arrives in fewer
+    # partitions than cores (r6), not a data-dependent shuffle.
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 # ------------------------------------------------------ mixture_weights

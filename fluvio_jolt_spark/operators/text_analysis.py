@@ -325,7 +325,12 @@ def unigram_logprob(
         id_col, F.explode(F.split(text_col, " ")).alias("tok")
     )
     if total_tokens is None:
-        total_tokens = toks.count()
+        # map-only: sum(size(split)) equals count(explode(split)) without
+        # materializing the token stream for a driver count (one pruned
+        # scan, no shuffle — the bigram_logprob idiom)
+        total_tokens = df.select(
+            F.sum(F.size(F.split(F.col(text_col), " ")))
+        ).collect()[0][0]
     n = float(total_tokens)
     vocab = (
         toks.groupBy("tok")

@@ -12,10 +12,18 @@ from fluvio_jolt_spark.operators.partitioning import fan_out
 
 def test_fan_out_raises_parallelism_of_narrow_input(spark):
     par = spark.sparkContext.defaultParallelism
-    df = spark.range(1000).coalesce(1)
+    # large enough that the size-derived target hits the parallelism cap
+    df = spark.range(2_000_000).coalesce(1)
     out = fan_out(df)
     assert out.rdd.getNumPartitions() == par
-    assert out.count() == 1000
+    assert out.count() == 2_000_000
+
+
+def test_fan_out_small_input_fans_to_few_partitions(spark):
+    # a tiny frame must NOT fan out to `cores` near-empty tasks: the
+    # target is one partition per FAN_OUT_GRAIN compressed input bytes
+    df = spark.range(10).coalesce(1)
+    assert fan_out(df) is df
 
 
 def test_fan_out_noop_on_wide_input(spark):
@@ -34,8 +42,9 @@ def test_fan_out_min_partitions_override(spark):
 
 
 def test_fan_out_preserves_values(spark):
-    df = spark.range(500).select(
+    df = spark.range(200_000).select(
         F.col("id"), (F.col("id") * 2).alias("v")
     ).coalesce(1)
     out = fan_out(df)
-    assert sorted(r.v for r in out.collect()) == [2 * i for i in range(500)]
+    assert out.rdd.getNumPartitions() > 1
+    assert sorted(r.v for r in out.collect()) == [2 * i for i in range(200_000)]

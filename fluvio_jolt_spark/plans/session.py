@@ -39,6 +39,15 @@ def build_session(
         # values identical to the stored naive micros); NTZ blocks
         # numeric casts and diverges from the DuckDB oracle.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # zstd parquet output (guide §6): ~38% fewer bytes than snappy on
+        # the flagship's JSON-text payload (999 → 618 MB at sf1.0) at
+        # equal-or-better wall time on this box's disk; at scale fewer
+        # bytes written AND read downstream. Env-overridable for
+        # deployments that standardize on another codec.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batches feed the vectorized jolt stage; bigger batches
         # amortize the JVM<->Python hop without blowing worker memory.

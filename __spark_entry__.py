@@ -1341,19 +1341,28 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination stage: per eval-doc fraction of word 3-grams
     present anywhere in the train split (doc_id % 20 == 0 stands in
-    for the eval set), with the distributed BLOOM pre-pass on: definite
-    non-member grams skip the exact join. The md5 family makes the
-    exact join SQL-recomputable; the oracle needs no bloom arithmetic
-    because a bloom has no false negatives and false positives are
-    caught by the exact join — output is bit-identical bloom on/off
-    (pinned in tests/test_dedup_similarity.py)."""
+    for the eval set). The md5 family makes the exact join
+    SQL-recomputable; output is bit-identical with the bloom pre-pass
+    on or off because a bloom has no false negatives and false
+    positives are caught by the exact join (pinned in
+    tests/test_dedup_similarity.py), which is also why the oracle
+    needs no bloom arithmetic.
+
+    r6: this verification lane runs the DIRECT join (bloom_bits=None).
+    Eval and train are slices of the same corpus here, so nearly every
+    eval gram is a member and the bloom can prune nothing — measured
+    pure overhead (~1.3 s of a 3 s query at sf1.0; guide §1.2: don't
+    compute what you throw away). The bloom pre-pass is the right call
+    when eval grams are numerous and mostly non-member; it remains in
+    the operator, exercised by tests and by the production xxhash lane
+    (bench.py passes bloom_bits=1<<22)."""
     from fluvio_jolt_spark.operators.dedup import ngram_contamination
 
     docs = _read(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return ngram_contamination(
-        train, eval_df, shingle_n=3, hash_family="md5", bloom_bits=1 << 22
+        train, eval_df, shingle_n=3, hash_family="md5", bloom_bits=None
     )
 
 

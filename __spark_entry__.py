@@ -1554,12 +1554,11 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        toks.select("doc_id", "tok")
-        .distinct()
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # r6: df(tok) = number of tf rows per tok (tf has exactly one row per
+    # (doc, tok)) — reuses the tf aggregate instead of a second full
+    # explode + distinct over the token stream (guide §2.3 "aggregate
+    # before you shuffle"; AQE reuses the shared tf shuffle stage).
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "tok").withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4),

@@ -650,10 +650,20 @@ def near_dup_candidates_scaled(
     ``exact_dedup`` separately; this function re-derives only the
     canonical id set, which Catalyst computes once per plan.
     """
-    ed = exact_dedup(df, text_col, id_col)
-    canon = df.join(
-        ed.filter(F.col("is_canonical")).select(id_col), id_col, "left_semi"
+    # r6: derive the canonical id set directly — min(id) per
+    # (hash, length) group IS the canonical set, so the full
+    # exact_dedup output (which joins the groups back to every row to
+    # flag copies) is not needed here; one aggregate replaces an
+    # aggregate plus a join. Same ids, same candidate pairs.
+    keyed = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        content_hash(F.col(text_col)).alias("_h"),
+        F.length(text_col).alias("_len"),
     )
+    canon_ids = keyed.groupBy("_h", "_len").agg(F.min(id_col).alias(id_col)).select(
+        id_col
+    )
+    canon = df.join(canon_ids, id_col, "left_semi")
     return minhash_lsh_candidates(
         canon,
         text_col,

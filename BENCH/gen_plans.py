@@ -18,7 +18,7 @@ PICKS = [
     ("cosine_topk", "brute-force ANN baseline: TakeOrderedAndProject, no global sort"),
     ("interval_join_windows", "range join via bin blocking (no nested loop)"),
     ("topk_per_group", "partitioned top-k (no global window)"),
-    ("contamination_check", "n-gram decontamination with bloom pre-pass"),
+    ("contamination_check", "n-gram decontamination (direct gram join; bloom pre-pass lives in the xxhash production lane)"),
 ]
 
 def trim(plan):
